@@ -1,0 +1,79 @@
+import pytest
+
+from pemp_tpu.config import get_config, update_config_command
+from pemp_tpu.config.node import ConfigNode
+
+
+def test_defaults_match_reference_surface():
+    cfg = get_config()
+    assert cfg.MODEL.KP == "hrnet"
+    assert cfg.MODEL.MPN.STEPS == 10
+    assert cfg.MODEL.MPN.EDGE_INPUT_DIM == 19
+    assert cfg.MODEL.GC.EDGE_LABEL_METHOD == 4
+    assert cfg.DATASET.MAX_NUM_PEOPLE == 30
+    assert cfg.TRAIN.LR == pytest.approx(3e-4)
+    assert cfg.MODEL.HRNET.EXTRA.STAGE4.NUM_CHANNELS == [32, 64, 128, 256]
+
+
+def test_clone_is_deep():
+    cfg = get_config()
+    cfg2 = cfg.clone()
+    cfg2.MODEL.MPN.STEPS = 3
+    assert cfg.MODEL.MPN.STEPS == 10
+
+
+def test_merge_from_list_coercion():
+    cfg = get_config()
+    cfg = update_config_command(
+        cfg,
+        [
+            "TRAIN.LR", "1e-5",
+            "MODEL.GC.CC_METHOD", "greedy",
+            "TEST.SCALE_FACTOR", "[1.0]",
+            "MODEL.MPN.NODE_THRESHOLD", "0.1",
+        ],
+    )
+    assert cfg.TRAIN.LR == pytest.approx(1e-5)
+    assert cfg.MODEL.GC.CC_METHOD == "greedy"
+    assert cfg.TEST.SCALE_FACTOR == [1.0]
+
+
+def test_open_subtree_accepts_new_keys():
+    cfg = get_config()
+    cfg.defrost()
+    cfg.MODEL.MPN.merge_from_other({"NODE_STEPS": 2, "TAG_SKIP": True})
+    assert cfg.MODEL.MPN.NODE_STEPS == 2
+    assert cfg.MODEL.MPN.TAG_SKIP is True
+
+
+def test_closed_subtree_rejects_new_keys():
+    cfg = get_config()
+    with pytest.raises(KeyError):
+        cfg.MODEL.GC.merge_from_other({"NOT_A_KEY": 1})
+
+
+def test_yaml_roundtrip(tmp_path):
+    cfg = get_config()
+    p = tmp_path / "c.yaml"
+    p.write_text("MODEL:\n  MPN:\n    NAME: NodeClassificationMPN\n    STEPS: 7\n")
+    cfg.defrost()
+    cfg.merge_from_file(str(p))
+    assert cfg.MODEL.MPN.NAME == "NodeClassificationMPN"
+    assert cfg.MODEL.MPN.STEPS == 7
+
+
+def test_flagship_config_loads():
+    """The repo's flagship experiment config must load over the defaults."""
+    cfg = get_config()
+    cfg.defrost()
+    cfg.merge_from_file("configs/hybrid_class_agnostic_end2end/model_58_4.yaml")
+    assert cfg.MODEL.MPN.NAME == "NodeClassificationMPN"
+    assert cfg.MODEL.MPN.AGGR_SUB == "node_edge_attn"
+    assert cfg.MODEL.GC.EDGE_LABEL_METHOD == 6
+    assert cfg.MODEL.GC.DETECT_THRESHOLD == pytest.approx(0.1)
+
+
+def test_expression_string_coerces():
+    node = ConfigNode({"EDGE_INPUT_DIM": 19})
+    node.merge_from_other({"EDGE_INPUT_DIM": "17 + 2"})
+    assert node.EDGE_INPUT_DIM == 19
