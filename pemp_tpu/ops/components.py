@@ -1,0 +1,56 @@
+"""Connected components on padded static-shape graphs.
+
+On-device replacement for scipy.sparse.csgraph.connected_components used in
+pose assembly (reference: src/Utils/Utils.py:686-693). Min-label propagation
+with pointer jumping: converges in O(log N) rounds on any graph, each round
+two segment_min ops + a gather chain — all static-shape inside jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def connected_components(edge_index, edge_valid, num_nodes: int, node_valid=None):
+    """Label each node with the minimum node index of its component.
+
+    edge_index: (2, E) int32; edges are treated as undirected.
+    Returns labels (N,) int32; invalid nodes keep their own index.
+    """
+    src, dst = edge_index[0], edge_index[1]
+    big = jnp.int32(num_nodes)
+
+    if node_valid is None:
+        node_valid = jnp.ones((num_nodes,), bool)
+    ev = edge_valid & node_valid[src] & node_valid[dst]
+
+    def body(state):
+        labels, _ = state
+        # propagate: pull the min label across each edge in both directions
+        msg = jnp.where(ev, labels[src], big)
+        pulled = jax.ops.segment_min(msg, dst, num_segments=num_nodes)
+        msg2 = jnp.where(ev, labels[dst], big)
+        pulled2 = jax.ops.segment_min(msg2, src, num_segments=num_nodes)
+        new = jnp.minimum(labels, jnp.minimum(pulled, pulled2))
+        # pointer jumping: label <- label of label (path halving)
+        new = new[new]
+        new = new[new]
+        changed = jnp.any(new != labels)
+        return new, changed
+
+    def cond(state):
+        return state[1]
+
+    labels0 = jnp.arange(num_nodes, dtype=jnp.int32)
+    labels, _ = lax.while_loop(cond, body, (labels0, jnp.bool_(True)))
+    return labels
+
+
+def relabel_compact(labels: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
+    """Map component labels to compact ids [0, n_components) in order of the
+    component's representative index. Static-shape."""
+    is_rep = labels == jnp.arange(num_nodes, dtype=labels.dtype)
+    compact_of_rep = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
+    return compact_of_rep[labels]
