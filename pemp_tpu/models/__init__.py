@@ -1,0 +1,16 @@
+from pemp_tpu.models.hourglass import PoseNet, hg_process_output
+from pemp_tpu.models.hrnet import (
+    HRNetSpec,
+    PoseHigherResolutionNet,
+    hr_process_output,
+)
+from pemp_tpu.models.mpn import get_mpn_model
+
+__all__ = [
+    "PoseNet",
+    "hg_process_output",
+    "HRNetSpec",
+    "PoseHigherResolutionNet",
+    "hr_process_output",
+    "get_mpn_model",
+]

@@ -1,0 +1,333 @@
+"""Message-passing network layers on padded, static-shape graphs.
+
+TPU-native re-design of the reference MPN layers
+(reference: src/Models/MessagePassingNetwork/layers.py). Key differences:
+
+  * graphs are padded to a fixed (N nodes, E edges) with validity masks —
+    no torch_geometric, no dynamic shapes
+  * the reference's per-type aggregation python loop (17 scatters per step,
+    layers.py:234-240) is one combined-index segment op
+  * the reference's per-type MLPs (17 nn.Linear selected by boolean indexing,
+    layers.py:260-303) are a single batched parameter tensor contracted on
+    the MXU and gathered per element
+  * BatchNorm over nodes/edges is masked so padded elements never pollute
+    statistics
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pemp_tpu.ops.segment import (
+    per_type_aggregate,
+    per_type_attention_aggregate,
+    segment_aggregate,
+)
+
+# COCO joint order: nose, eye_l, eye_r, ear_l, ear_r, sho_l, sho_r, elb_l,
+# elb_r, wri_l, wri_r, hip_l, hip_r, kne_l, kne_r, ank_l, ank_r
+_LEFT_RIGHT = [0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8]
+_PER_BODY_PART = [0, 0, 0, 0, 0, 1, 1, 2, 3, 2, 3, 4, 5, 4, 5, 4, 5]
+
+
+def sum_node_types(node_summary: str, node_types):
+    """reference: src/Models/MessagePassingNetwork/utils.py:6-19"""
+    if node_summary == "not":
+        return node_types
+    if node_summary == "left_right":
+        return jnp.asarray(_LEFT_RIGHT, dtype=node_types.dtype)[node_types]
+    if node_summary == "per_body_part":
+        return jnp.asarray(_PER_BODY_PART, dtype=node_types.dtype)[node_types]
+    raise NotImplementedError(node_summary)
+
+
+def num_summary_types(node_summary: str, num_joints: int) -> int:
+    if node_summary == "not":
+        return num_joints
+    if node_summary == "left_right":
+        return 9
+    if node_summary == "per_body_part":
+        return 6
+    raise NotImplementedError(node_summary)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over the element axis with a validity mask.
+
+    Matches torch BatchNorm1d semantics (biased variance for normalization,
+    unbiased for the running update, momentum 0.1) but computes statistics
+    over valid elements only so padding is inert.
+    """
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, valid=None, train: bool = False):
+        features = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+
+        if train:
+            xf = x.astype(jnp.float32)
+            if valid is not None:
+                w = valid.astype(jnp.float32)[:, None]
+                count = jnp.maximum(w.sum(), 1.0)
+                mean = (xf * w).sum(axis=0) / count
+                var = (jnp.square(xf - mean) * w).sum(axis=0) / count
+            else:
+                count = jnp.float32(x.shape[0])
+                mean = xf.mean(axis=0)
+                var = jnp.square(xf - mean).mean(axis=0)
+            if not self.is_initializing():
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jnp.asarray(1.0, jnp.float32) / jnp.sqrt(var + self.epsilon)
+        out = (x.astype(jnp.float32) - mean) * inv * scale + bias
+        return out.astype(self.dtype)
+
+
+class MLP(nn.Module):
+    """reference _make_mlp (layers.py:8-29): Linear / ReLU / BN stacks.
+
+    Layer order mirrors the reference exactly: ReLU precedes BN; the final
+    Linear gets neither unless end_with_relu.
+    """
+
+    hidden_dims: Sequence[int]
+    bn: bool = False
+    init_trick: bool = False
+    end_with_relu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, valid=None, train: bool = False):
+        dims = list(self.hidden_dims)
+        n = len(dims)
+        x = nn.Dense(dims[0], dtype=self.dtype, name="lin0")(x)
+        if n != 1:
+            x = nn.relu(x)
+            if self.bn:
+                x = MaskedBatchNorm(dtype=self.dtype, name="bn0")(x, valid, train)
+        for i in range(1, n):
+            last = i == n - 1
+            bias_init = (
+                nn.initializers.constant(-2.0) if (last and self.init_trick) else nn.initializers.zeros
+            )
+            x = nn.Dense(dims[i], dtype=self.dtype, bias_init=bias_init, name=f"lin{i}")(x)
+            if not last:
+                x = nn.relu(x)
+                if self.bn:
+                    x = MaskedBatchNorm(dtype=self.dtype, name=f"bn{i}")(x, valid, train)
+        if self.end_with_relu:
+            x = nn.relu(x)
+            if self.bn:
+                x = MaskedBatchNorm(dtype=self.dtype, name="bn_end")(x, valid, train)
+        return x
+
+
+class TypeAwareLinear(nn.Module):
+    """num_types parallel Linear layers selected per element by type.
+
+    Replaces the reference's ModuleList-of-Linear + boolean indexing
+    (layers.py:260-303) with one batched weight tensor: the contraction runs
+    as a single (E, Din) x (Din, T*Dout) matmul on the MXU, then a gather
+    picks each element's type slice.
+    """
+
+    num_types: int
+    features: int
+
+    @nn.compact
+    def __call__(self, x, types):
+        din = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(0,)),
+            (self.num_types, din, self.features),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_types, self.features)
+        )
+        y = jnp.einsum("ei,tio->eto", x, kernel)
+        out = jnp.take_along_axis(y, types[:, None, None], axis=1)[:, 0]
+        return out + bias[types]
+
+
+class TypeAwareEdgeUpdate(nn.Module):
+    """Per-type edge MLP. reference: layers.py:276-303"""
+
+    num_types: int
+    output_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_i, x_j, edges, types_i, types_j):
+        t1 = TypeAwareLinear(self.num_types, self.output_dim, name="layer_1")(x_i, types_i)
+        t2 = TypeAwareLinear(self.num_types, self.output_dim, name="layer_2")(x_j, types_j)
+        e = nn.Dense(self.output_dim, dtype=self.dtype, name="edge_layer")(edges)
+        h = nn.relu(jnp.concatenate([t1, t2, e], axis=-1))
+        h = nn.Dense(self.output_dim, dtype=self.dtype, name="out")(h)
+        return nn.relu(h)
+
+
+class HierarchUpdateMlp(nn.Module):
+    """Skeleton-hierarchy update over the (N, T, D) per-type tensor.
+
+    reference: layers.py:89-128.
+    """
+
+    node_dim: int
+    num_joints: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, update):
+        n = update.shape[0]
+        half = self.node_dim // 2
+        if self.num_joints == 17:
+            order_1 = [(0, 1, 2, 3, 4), (5, 6), (7, 9), (8, 10), (11, 12), (13, 15), (14, 16)]
+        else:
+            order_1 = [(0, 1), (2, 3), (4, 6), (5, 7), (8, 9), (10, 12), (11, 13)]
+        order_2 = [(0, 1), (1, 2), (1, 3), (1, 4), (4, 5), (4, 6)]
+
+        out_1 = []
+        for i, types in enumerate(order_1):
+            inp = update[:, list(types)].reshape(n, -1)
+            out_1.append(nn.relu(nn.Dense(half, dtype=self.dtype, name=f"first_{i}")(inp)))
+        out_1 = jnp.stack(out_1, axis=1)  # (N, 7, half)
+        out_2 = []
+        for i, types in enumerate(order_2):
+            inp = out_1[:, list(types)].reshape(n, -1)
+            out_2.append(nn.relu(nn.Dense(half, dtype=self.dtype, name=f"second_{i}")(inp)))
+        out_2 = jnp.concatenate(out_2, axis=1).reshape(n, -1)
+        return nn.relu(nn.Dense(self.node_dim, dtype=self.dtype, name="final")(out_2))
+
+
+class MPLayer(nn.Module):
+    """Type-agnostic message-passing layer. reference: layers.py:32-86"""
+
+    node_feature_dim: int
+    edge_feature_dim: int
+    edge_feature_hidden: int
+    aggr: str = "max"
+    use_node_update_mlp: bool = False
+    edge_mlp: str = "agnostic"
+    num_types: int = 17
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types=None, edge_valid=None):
+        num_nodes = x.shape[0]
+        j, i = edge_index[0], edge_index[1]  # message flows j -> i
+        x_i, x_j = x[i], x[j]
+
+        if self.edge_mlp == "agnostic":
+            h = jnp.concatenate([x_i, x_j, edge_attr], axis=-1)
+            h = nn.Dense(self.edge_feature_hidden, dtype=self.dtype, name="mlp_edge_0")(h)
+            h = nn.relu(h)
+            h = nn.Dense(self.edge_feature_dim, dtype=self.dtype, name="mlp_edge_1")(h)
+            new_edge = nn.relu(h)
+        elif self.edge_mlp == "per_type":
+            new_edge = TypeAwareEdgeUpdate(
+                self.num_types, self.edge_feature_hidden, dtype=self.dtype, name="mlp_edge"
+            )(x_i, x_j, edge_attr, node_types[i], node_types[j])
+        else:
+            raise NotImplementedError(self.edge_mlp)
+
+        m = jnp.concatenate([x_i, new_edge], axis=-1)
+        m = nn.Dense(self.node_feature_dim, dtype=self.dtype, name="mlp_node")(m)
+        m = nn.relu(m)
+
+        aggr_out = segment_aggregate(m, i, num_nodes, self.aggr, edge_valid)
+        if self.use_node_update_mlp:
+            aggr_out = nn.relu(
+                nn.Dense(self.node_feature_dim, dtype=self.dtype, name="update_mlp")(aggr_out)
+            )
+        return aggr_out, new_edge
+
+
+class TypeAwareMPNLayer(nn.Module):
+    """Flagship layer: per-source-type aggregation with optional per-edge
+    attention and a type-concat update MLP. reference: layers.py:157-258.
+    """
+
+    node_feature_dim: int
+    edge_feature_dim: int
+    edge_feature_hidden: int
+    aggr: str = "add"
+    edge_mlp: str = "agnostic"
+    num_types: int = 17
+    aggr_sub: str = "None"
+    update_type: str = "mlp"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, edge_valid=None):
+        num_nodes = x.shape[0]
+        j, i = edge_index[0], edge_index[1]
+        x_i, x_j = x[i], x[j]
+        src_type = node_types[j]
+
+        if self.edge_mlp == "agnostic":
+            h = jnp.concatenate([x_i, x_j, edge_attr], axis=-1)
+            h = nn.Dense(self.edge_feature_hidden, dtype=self.dtype, name="mlp_edge_0")(h)
+            h = nn.relu(h)
+            h = nn.Dense(self.edge_feature_dim, dtype=self.dtype, name="mlp_edge_1")(h)
+            new_edge = nn.relu(h)
+        elif self.edge_mlp in ("per_type", "per_type_2"):
+            new_edge = TypeAwareEdgeUpdate(
+                self.num_types, self.edge_feature_hidden, dtype=self.dtype, name="mlp_edge"
+            )(x_i, x_j, edge_attr, node_types[i], node_types[j])
+        else:
+            raise NotImplementedError(self.edge_mlp)
+
+        # per-source-type message MLP (reference TypeAwareNodeUpdate)
+        msg_in = jnp.concatenate([x_i, new_edge], axis=-1)
+        m = TypeAwareLinear(self.num_types, self.node_feature_dim, name="mlp_node")(
+            msg_in, src_type
+        )
+        m = nn.relu(m)
+
+        if self.aggr_sub in ("node_edge_attn", "node_edge_attn_per_type"):
+            heads = 1 if self.aggr_sub == "node_edge_attn" else self.num_types
+            scores = nn.Dense(heads, dtype=self.dtype, name="attn_net")(new_edge)
+            if heads == 1:
+                per_edge_score = scores[:, 0]
+            else:
+                per_edge_score = jnp.take_along_axis(scores, src_type[:, None], axis=1)[:, 0]
+            updates = per_type_attention_aggregate(
+                m, per_edge_score, i, src_type, num_nodes, self.num_types, edge_valid
+            )
+        else:
+            updates = per_type_aggregate(
+                m, i, src_type, num_nodes, self.num_types, self.aggr, edge_valid
+            )
+
+        if self.update_type == "mlp":
+            flat = updates.reshape(num_nodes, -1)
+            out = nn.relu(
+                nn.Dense(self.node_feature_dim, dtype=self.dtype, name="update_mlp")(flat)
+            )
+        elif self.update_type == "hierarch_mlp":
+            out = HierarchUpdateMlp(
+                self.node_feature_dim, self.num_types, dtype=self.dtype, name="update_mlp"
+            )(updates)
+        else:
+            raise NotImplementedError(self.update_type)
+
+        return out, new_edge

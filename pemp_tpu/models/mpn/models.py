@@ -1,0 +1,424 @@
+"""MPN model zoo + factory on padded static-shape graphs.
+
+All models share the reference's forward contract
+(reference: src/Models/MessagePassingNetwork/NodeClassificationMPNSimple.py:62-97):
+
+    (x, edge_attr, edge_index, node_types, ...) ->
+        dict(edge=[(E,) logits per aux step], node=[(N,)], class=[(N, C)],
+             tag=[(N,) or None])
+
+with padded nodes/edges carried through and masked by validity. The
+message-passing steps share weights, so they run under ``lax.scan`` via
+``nn.scan`` — one compiled step body instead of 10 unrolled copies.
+
+Factory name surface matches the reference's get_mpn_model
+(reference: src/Models/MessagePassingNetwork/__init__.py:27-73) so experiment
+YAMLs resolve unchanged; research-zoo ablations collapse onto the shared
+implementations where architecturally identical.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pemp_tpu.models.mpn.layers import (
+    MLP,
+    MPLayer,
+    TypeAwareMPNLayer,
+    num_summary_types,
+    sum_node_types,
+)
+
+
+def _mlp_cfg(node, key, default=None):
+    if key in node:
+        return node[key]
+    return default
+
+
+class LateFusionEdgeMLP(nn.Module):
+    """Position + connection-type fused late.
+
+    reference: NodeClassificationMPNSimple.py:7-21.
+    """
+
+    output_sizes: tuple
+    bn: bool
+    end_with_relu: bool
+    num_joints: int = 17
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, edge_attr, valid=None, train: bool = False):
+        single = [s // 2 for s in self.output_sizes[:-1]]
+        pos = edge_attr[:, :2]
+        conn = edge_attr[:, 2:]
+        p = MLP(single, bn=self.bn, end_with_relu=self.end_with_relu, dtype=self.dtype, name="pos_mlp")(
+            pos, valid, train
+        )
+        c = MLP(single, bn=self.bn, end_with_relu=self.end_with_relu, dtype=self.dtype, name="edge_mlp")(
+            conn, valid, train
+        )
+        h = nn.relu(jnp.concatenate([p, c], axis=-1))
+        return nn.Dense(self.output_sizes[-1], dtype=self.dtype, name="out")(h)
+
+
+class _StepBody(nn.Module):
+    """One shared-weight message-passing step (scanned)."""
+
+    mpn_cfg: dict
+    num_types: int
+    skip: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        node_features, edge_features, init_nodes, init_edges, edge_index, node_types, edge_valid = carry
+        c = self.mpn_cfg
+        if self.skip:
+            nf = jnp.concatenate([init_nodes, node_features], axis=-1)
+            ef = jnp.concatenate([init_edges, edge_features], axis=-1)
+        else:
+            nf, ef = node_features, edge_features
+
+        if c["AGGR_TYPE"] == "agnostic":
+            new_nodes, new_edges = MPLayer(
+                c["NODE_FEATURE_DIM"],
+                c["EDGE_FEATURE_DIM"],
+                c["EDGE_FEATURE_HIDDEN"],
+                aggr=c["AGGR"],
+                use_node_update_mlp=c["USE_NODE_UPDATE_MLP"],
+                edge_mlp=c["EDGE_MLP"],
+                num_types=self.num_types,
+                dtype=self.dtype,
+                name="layer",
+            )(nf, ef, edge_index, node_types, edge_valid)
+        else:
+            new_nodes, new_edges = TypeAwareMPNLayer(
+                c["NODE_FEATURE_DIM"],
+                c["EDGE_FEATURE_DIM"],
+                c["EDGE_FEATURE_HIDDEN"],
+                aggr=c["AGGR"],
+                edge_mlp=c["EDGE_MLP"],
+                num_types=self.num_types,
+                aggr_sub=c["AGGR_SUB"],
+                update_type=c["UPDATE_TYPE"],
+                dtype=self.dtype,
+                name="layer",
+            )(nf, ef, edge_index, node_types, edge_valid)
+
+        new_carry = (new_nodes, new_edges, init_nodes, init_edges, edge_index, node_types, edge_valid)
+        return new_carry, (new_nodes, new_edges)
+
+
+def _run_steps(parent, mpn_cfg, num_types, skip, steps, node_features, edge_features,
+               edge_index, node_types, edge_valid, dtype, name):
+    """Scan the shared-weight step; returns per-step (nodes, edges) stacks."""
+    scanned = nn.scan(
+        _StepBody,
+        variable_broadcast="params",
+        split_rngs={"params": False},
+        length=steps,
+    )(mpn_cfg, num_types, skip, dtype, name=name, parent=parent)
+    carry = (
+        node_features,
+        edge_features,
+        node_features,
+        edge_features,
+        edge_index,
+        node_types,
+        edge_valid,
+    )
+    carry, (node_stack, edge_stack) = scanned(carry, None)
+    return carry[0], carry[1], node_stack, edge_stack
+
+
+class NodeClassificationMPN(nn.Module):
+    """Flagship: shared-weight MP steps + edge/node/class heads.
+
+    reference: NodeClassificationMPNSimple.py:23-97.
+    """
+
+    mpn_cfg: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
+                 edge_valid=None, joint_tags=None, train: bool = False):
+        c = self.mpn_cfg
+        num_types = num_summary_types(c["NODE_TYPE_SUMMARY"], c["NUM_JOINTS"])
+        types = sum_node_types(c["NODE_TYPE_SUMMARY"], node_types)
+
+        if c["LATE_FUSION_POS"]:
+            edge_features = LateFusionEdgeMLP(
+                tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]),
+                c["EDGE_EMB"]["BN"],
+                c["EDGE_EMB"].get("END_WITH_RELU", False),
+                dtype=self.dtype,
+                name="edge_embedding",
+            )(edge_attr, edge_valid, train)
+        else:
+            edge_features = MLP(
+                tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]),
+                bn=c["EDGE_EMB"]["BN"],
+                end_with_relu=c["EDGE_EMB"].get("END_WITH_RELU", False),
+                dtype=self.dtype,
+                name="edge_embedding",
+            )(edge_attr, edge_valid, train)
+        node_features = MLP(
+            tuple(c["NODE_EMB"]["OUTPUT_SIZES"]),
+            bn=c["NODE_EMB"]["BN"],
+            end_with_relu=c["NODE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype,
+            name="node_embedding",
+        )(x, node_valid, train)
+
+        steps = c["STEPS"]
+        node_steps = c.get("NODE_STEPS", 0)
+        aux = c["AUX_LOSS_STEPS"]
+
+        node_features, edge_features, node_stack, edge_stack = _run_steps(
+            self, c, num_types, c["SKIP"], steps, node_features, edge_features,
+            edge_index, types, edge_valid, self.dtype, "mpn",
+        )
+
+        edge_head = MLP(tuple(c["EDGE_CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="edge_classification")
+        node_head = MLP(tuple(c["NODE_CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="node_classification")
+        class_head = MLP(tuple(c["CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="classification")
+
+        preds_edge, preds_node, preds_class = [], [], []
+        for i in range(steps):
+            if i >= steps - aux - 1:
+                preds_node.append(node_head(node_stack[i], node_valid, train)[..., 0])
+                preds_class.append(class_head(node_stack[i], node_valid, train))
+                preds_edge.append(edge_head(edge_stack[i], edge_valid, train)[..., 0])
+
+        if node_steps:
+            node_features, edge_features, _, _ = _run_steps(
+                self, c, num_types, c["SKIP"], node_steps, node_features, edge_features,
+                edge_index, types, edge_valid, self.dtype, "mpn_node",
+            )
+        preds_node.append(node_head(node_features, node_valid, train)[..., 0])
+        preds_class.append(class_head(node_features, node_valid, train))
+
+        return {
+            "edge": preds_edge,
+            "node": preds_node,
+            "class": preds_class,
+            "tag": [None],
+        }
+
+
+class VanillaMPN(nn.Module):
+    """Edge-only classification MPN. reference: VanillaMPN.py:78-116."""
+
+    mpn_cfg: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
+                 edge_valid=None, joint_tags=None, train: bool = False):
+        c = self.mpn_cfg
+        edge_features = MLP(
+            tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]), bn=c["BN"],
+            end_with_relu=c["NODE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="edge_embedding",
+        )(edge_attr, edge_valid, train)
+        node_features = MLP(
+            tuple(c["NODE_EMB"]["OUTPUT_SIZES"]), bn=c["BN"],
+            end_with_relu=c["NODE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="node_embedding",
+        )(x, node_valid, train)
+
+        cfg = dict(c)
+        cfg["AGGR_TYPE"] = "agnostic"
+        _, _, node_stack, edge_stack = _run_steps(
+            self, cfg, c["NUM_JOINTS"], c["SKIP"], c["STEPS"], node_features,
+            edge_features, edge_index, node_types, edge_valid, self.dtype, "mpn",
+        )
+        edge_head = MLP(tuple(c["EDGE_CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="edge_classification")
+        preds_edge = []
+        for i in range(c["STEPS"]):
+            if i >= c["STEPS"] - c["AUX_LOSS_STEPS"] - 1:
+                preds_edge.append(edge_head(edge_stack[i], edge_valid, train)[..., 0])
+        return {"edge": preds_edge, "node": [None], "class": None, "tag": [None]}
+
+
+class JointTypeClassification(nn.Module):
+    """Class-only model. reference: JointTypeClassification.py."""
+
+    mpn_cfg: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
+                 edge_valid=None, joint_tags=None, train: bool = False):
+        c = self.mpn_cfg
+        num_types = num_summary_types(c["NODE_TYPE_SUMMARY"], c["NUM_JOINTS"])
+        types = sum_node_types(c["NODE_TYPE_SUMMARY"], node_types)
+        edge_features = MLP(
+            tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]), bn=c["EDGE_EMB"]["BN"],
+            end_with_relu=c["EDGE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="edge_embedding",
+        )(edge_attr, edge_valid, train)
+        node_features = MLP(
+            tuple(c["NODE_EMB"]["OUTPUT_SIZES"]), bn=c["NODE_EMB"]["BN"],
+            end_with_relu=c["NODE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="node_embedding",
+        )(x, node_valid, train)
+        _, _, node_stack, _ = _run_steps(
+            self, c, num_types, c["SKIP"], c["STEPS"], node_features, edge_features,
+            edge_index, types, edge_valid, self.dtype, "mpn",
+        )
+        class_head = MLP(tuple(c["CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="classification")
+        return {
+            "edge": [None],
+            "node": [None],
+            "class": [class_head(node_stack[-1], node_valid, train)],
+            "tag": [None],
+        }
+
+
+class NodeClassificationMPNTag(nn.Module):
+    """MPN with a per-node tag regression head.
+
+    reference: NodeClassificationMPNTag.py:7-90.
+    """
+
+    mpn_cfg: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
+                 edge_valid=None, joint_tags=None, train: bool = False):
+        c = self.mpn_cfg
+        num_types = num_summary_types(c["NODE_TYPE_SUMMARY"], c["NUM_JOINTS"])
+        types = sum_node_types(c["NODE_TYPE_SUMMARY"], node_types)
+        edge_features = MLP(
+            tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]), bn=c["EDGE_EMB"]["BN"],
+            end_with_relu=c["EDGE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="edge_embedding",
+        )(edge_attr, edge_valid, train)
+        node_features = MLP(
+            tuple(c["NODE_EMB"]["OUTPUT_SIZES"]), bn=c["NODE_EMB"]["BN"],
+            end_with_relu=c["NODE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="node_embedding",
+        )(x, node_valid, train)
+
+        node_f, edge_f, _, _ = _run_steps(
+            self, c, num_types, c["SKIP"], c["STEPS"], node_features, edge_features,
+            edge_index, types, edge_valid, self.dtype, "mpn",
+        )
+        tag_head = MLP(tuple(c["NODE_TAG"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="tag_pred")
+        tag = tag_head(node_f, node_valid, train)[..., 0]
+        if c.get("TAG_SKIP", False) and joint_tags is not None:
+            tag = tag + joint_tags
+
+        node_steps = c.get("NODE_STEPS", 0)
+        if node_steps:
+            node_f, edge_f, _, _ = _run_steps(
+                self, c, num_types, c["SKIP"], node_steps, node_f, edge_f,
+                edge_index, types, edge_valid, self.dtype, "mpn_node",
+            )
+        node_head = MLP(tuple(c["NODE_CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="node_classification")
+        class_head = MLP(tuple(c["CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="classification")
+        return {
+            "edge": [None],
+            "node": [node_head(node_f, node_valid, train)[..., 0]],
+            "class": [class_head(node_f, node_valid, train)],
+            "tag": [tag],
+        }
+
+
+class TagThreshold(nn.Module):
+    """No-learning baseline: edge pred = tag-distance < 1.
+
+    reference: TagThreshold.py.
+    """
+
+    mpn_cfg: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
+                 edge_valid=None, joint_tags=None, train: bool = False):
+        return {
+            "edge": [(edge_attr[:, 0] < 1.0).astype(jnp.float32)],
+            "node": [None],
+            "class": None,
+            "tag": [None],
+        }
+
+
+class PlainTag(nn.Module):
+    """No-learning baseline: edge pred = raw tag feature. reference: PlainTag.py."""
+
+    mpn_cfg: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
+                 edge_valid=None, joint_tags=None, train: bool = False):
+        return {
+            "edge": [edge_attr[:, 0]],
+            "node": [None],
+            "class": None,
+            "tag": [None],
+        }
+
+
+class LogisticEdgeClassifier(nn.Module):
+    """Logistic regression on raw edge features. reference: LogisticEdgeClassifier.py."""
+
+    mpn_cfg: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
+                 edge_valid=None, joint_tags=None, train: bool = False):
+        logits = nn.Dense(1, dtype=self.dtype, name="linear")(edge_attr)[..., 0]
+        return {"edge": [logits], "node": [None], "class": None, "tag": [None]}
+
+
+# names the reference factory resolves (MessagePassingNetwork/__init__.py:27-73);
+# architecturally-identical research ablations share an implementation
+_MODELS = {
+    "VanillaMPN": VanillaMPN,
+    "VanillaMPN2": VanillaMPN,
+    "ClassificationMPN": NodeClassificationMPN,
+    "ClassificationMPNSimple": NodeClassificationMPN,
+    "NodeClassificationMPN": NodeClassificationMPN,
+    "NodeClassificationMPNWithBackground": NodeClassificationMPN,
+    "NodeClassificationMPNTypeBased": NodeClassificationMPN,
+    "NodeClassificationMPNAttention": NodeClassificationMPN,
+    "NodeClassificationMPNSelfAttention": NodeClassificationMPN,
+    "NodeClassificationMPNWithRef": NodeClassificationMPN,
+    "NodeClassificationMPNFPConstrained": NodeClassificationMPN,
+    "NodeClassificationMPNTypeConstrained": NodeClassificationMPN,
+    "NodeClassificationMPNGroupBased": NodeClassificationMPN,
+    "JointTypeClassification": JointTypeClassification,
+    "NodeClassificationMPNTag": NodeClassificationMPNTag,
+    "MPNTag": NodeClassificationMPNTag,
+    "LogisticEdgeClassifier": LogisticEdgeClassifier,
+    "TagThreshold": TagThreshold,
+    "PlainTag": PlainTag,
+}
+
+
+def mpn_cfg_from_config(mpn_config) -> dict:
+    """Freeze the open MPN config subtree into a plain dict for module attrs."""
+    d = mpn_config.to_dict() if hasattr(mpn_config, "to_dict") else dict(mpn_config)
+    d.setdefault("NODE_STEPS", 0)
+    return d
+
+
+def get_mpn_model(mpn_config, dtype=jnp.float32):
+    """Factory. reference: MessagePassingNetwork/__init__.py:27-73."""
+    cfg = mpn_cfg_from_config(mpn_config)
+    name = cfg["NAME"]
+    if name not in _MODELS:
+        raise NotImplementedError(name)
+    return _MODELS[name](cfg, dtype=dtype)
