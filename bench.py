@@ -1,0 +1,137 @@
+"""End-to-end throughput benchmark on the flagship eval pipeline.
+
+Measures images/sec for HigherHRNet-w48 @ 640 single-scale inference:
+backbone -> NMS/top-K detection -> kNN graph -> 10-step MPN -> on-device
+grouping (threshold CC) + refine + quarter-adjust — the full decode, one jit.
+
+The PyTorch reference publishes no throughput (BASELINE.md); its eval loop is
+batch=1 python with host round-trips for clustering/refine
+(reference: src/valid.py:94-135). ``vs_baseline`` is measured against a
+documented estimate of 6.0 img/s for that pipeline on the reference's single
+16GB GPU (HRNet-w48 640 + MPN + CPU grouping); the driver's BASELINE.json
+target is >=10x that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_IMAGES_PER_SEC = 6.0
+
+
+def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bfloat16"):
+    import jax
+    import jax.numpy as jnp
+
+    from pemp_tpu.config import get_config, update_config
+    from pemp_tpu.decode.assembly import decode_poses
+    from pemp_tpu.models import build_pose_model
+
+    cfg = get_config()
+    cfg = update_config(cfg, "configs/hrnet/w48_640.yaml")
+    cfg.defrost()
+    cfg.DATASET.INPUT_SIZE = input_size
+    cfg.DATASET.OUTPUT_SIZE = [input_size // 4, input_size // 2]
+    cfg.freeze()
+
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    model = build_pose_model(cfg, dtype=dtype)
+    imgs = jnp.zeros((batch_size, input_size, input_size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, train=False)
+    num_joints = cfg.DATASET.NUM_JOINTS
+    node_threshold = cfg.MODEL.MPN.NODE_THRESHOLD
+    n_per_img = num_joints * cfg.TPU.NODES_PER_TYPE
+
+    def forward(images):
+        scoremaps, output = model.apply(variables, images, train=False)
+        g = output["graph"]
+        edge_pred = jax.nn.sigmoid(output["preds"]["edge"][-1])
+        node_pred = jax.nn.sigmoid(output["preds"]["node"][-1])
+        class_prob = jax.nn.softmax(output["preds"]["class"][-1], axis=-1)
+
+        b = images.shape[0]
+        e_per = g["edge_index"].shape[1] // b
+        sm = jnp.transpose(scoremaps, (0, 3, 1, 2))
+        tg = jnp.transpose(output["graph"]["tags"], (0, 3, 1, 2))
+
+        def decode_one(i):
+            sl_n = jax.lax.dynamic_slice_in_dim
+            nodes = sl_n(g["nodes"], i * n_per_img, n_per_img, 0)
+            nscore = sl_n(node_pred, i * n_per_img, n_per_img, 0)
+            nvalid = sl_n(g["node_valid"], i * n_per_img, n_per_img, 0)
+            ei = sl_n(g["edge_index"], i * e_per, e_per, 1) - i * n_per_img
+            ev = sl_n(g["edge_valid"], i * e_per, e_per, 0)
+            ep = sl_n(edge_pred, i * e_per, e_per, 0)
+            cp = sl_n(class_prob, i * n_per_img, n_per_img, 0)
+            return decode_poses(
+                sm[i], tg[i], nodes, nscore, ei, ev, ep, nvalid,
+                node_threshold=node_threshold, num_joints=num_joints,
+                class_probs=cp, with_refine=True, with_adjust=True,
+            )
+
+        persons, valid = jax.vmap(decode_one)(jnp.arange(b))
+        return persons, valid
+
+    return jax.jit(forward), imgs
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    batch_size = 8
+    warmup, iters = 2, 10
+    if platform == "cpu":
+        batch_size, warmup, iters = 1, 1, 2
+
+    last_err = None
+    for bs in (batch_size, 4, 2, 1):
+        try:
+            fn, imgs = build_pipeline(bs)
+            out = fn(imgs)
+            jax.block_until_ready(out)
+            batch_size = bs
+            break
+        except Exception as e:  # noqa: BLE001 — fall back to smaller batch
+            last_err = e
+            fn = None
+    if fn is None:
+        raise last_err
+
+    rng = np.random.RandomState(0)
+    import jax.numpy as jnp
+
+    data = jnp.asarray(rng.rand(*imgs.shape), jnp.float32)
+    for _ in range(warmup):
+        jax.block_until_ready(fn(data))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        jax.block_until_ready(fn(data))
+    dt = time.perf_counter() - t0
+
+    ips = batch_size * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec end-to-end (backbone+MPN+grouping), HRNet-w48 640 single-scale",
+                "value": round(ips, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(ips / REFERENCE_IMAGES_PER_SEC, 2),
+            }
+        )
+    )
+    print(
+        f"# platform={platform} batch={batch_size} iters={iters} "
+        f"total={dt:.2f}s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
