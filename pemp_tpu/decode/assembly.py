@@ -140,7 +140,9 @@ def refine_ae(scoremaps, tagmaps, persons, person_valid):
         y = y + jnp.where(down > up, 0.25, -0.25)
         return jnp.stack([x, y, val], axis=-1)  # (J, 3)
 
-    ans = jax.vmap(per_person)(mean_tag)  # (P, J, 3)
+    # lax.map (sequential) keeps peak memory at one (J, H, W) workspace —
+    # vmap would materialize all P at once (heavy at full-res TTA canvases)
+    ans = jax.lax.map(per_person, mean_tag)  # (P, J, 3)
     add = (~present) & (ans[:, :, 2] > 0) & person_valid[:, None]
     new_xy = jnp.where(add[..., None], ans[:, :, :2], persons[:, :, :2])
     new_s = jnp.where(add, 1e-3, persons[:, :, 2])

@@ -307,11 +307,14 @@ class PoseHigherResolutionNet(nn.Module):
             if spec.deconv_cat_output[i]:
                 x = jnp.concatenate([x, y], axis=-1)
             # ConvTranspose k4 s2 p1 == exact 2x upsample (hrnet.py:354-365)
+            # transpose_kernel=True matches torch ConvTranspose2d semantics
+            # (gradient-of-conv; kernel stored (k, k, out, in))
             x = nn.ConvTranspose(
                 spec.deconv_channels[i],
                 (spec.deconv_kernel[i],) * 2,
                 strides=(2, 2),
                 padding="SAME",
+                transpose_kernel=True,
                 use_bias=False,
                 dtype=dt,
                 name=f"deconv_{i}_conv",

@@ -1,0 +1,165 @@
+"""PyTorch checkpoint -> flax parameter conversion.
+
+Ports released HigherHRNet ``.pth`` weights (and the reference's trained
+composite checkpoints) into this framework's parameter tree, implementing
+the reference's three provenance rename schemes
+(reference: src/Models/PoseEstimation/PoseEstimation.py:14-38,
+UpperBound.py:40-48, hrnet.py:546-579).
+
+Layout conversions:
+  Conv2d        OIHW        -> HWIO
+  ConvTranspose (in,out,k,k) -> (k,k,out,in) with flax transpose_kernel=True
+  Linear        (out,in)     -> (in,out)
+  BatchNorm     weight/bias/running_mean/running_var -> scale/bias + stats
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+
+def _conv(w):
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _convT(w):
+    # torch ConvTranspose2d (in, out, kh, kw) -> flax transpose_kernel=True
+    # layout (kh, kw, out, in)
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _linear(w):
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def _put(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def _bn(params, stats, flax_name, sd, torch_prefix):
+    _put(params, (flax_name, "scale"), sd[f"{torch_prefix}.weight"])
+    _put(params, (flax_name, "bias"), sd[f"{torch_prefix}.bias"])
+    _put(stats, (flax_name, "mean"), sd[f"{torch_prefix}.running_mean"])
+    _put(stats, (flax_name, "var"), sd[f"{torch_prefix}.running_var"])
+
+
+def _conv_p(params, flax_name, sd, torch_prefix, bias=False, transpose=False):
+    w = sd[f"{torch_prefix}.weight"]
+    _put(params, (flax_name, "kernel"), _convT(w) if transpose else _conv(w))
+    if bias and f"{torch_prefix}.bias" in sd:
+        _put(params, (flax_name, "bias"), sd[f"{torch_prefix}.bias"])
+
+
+def _basic_block(params, stats, flax_name, sd, tp):
+    p = params.setdefault(flax_name, {})
+    s = stats.setdefault(flax_name, {})
+    _conv_p(p, "conv1", sd, f"{tp}.conv1")
+    _conv_p(p, "conv2", sd, f"{tp}.conv2")
+    _bn(p, s, "bn1", sd, f"{tp}.bn1")
+    _bn(p, s, "bn2", sd, f"{tp}.bn2")
+    if f"{tp}.downsample.0.weight" in sd:
+        _conv_p(p, "downsample_conv", sd, f"{tp}.downsample.0")
+        _bn(p, s, "downsample_bn", sd, f"{tp}.downsample.1")
+
+
+def _bottleneck(params, stats, flax_name, sd, tp):
+    p = params.setdefault(flax_name, {})
+    s = stats.setdefault(flax_name, {})
+    for i in (1, 2, 3):
+        _conv_p(p, f"conv{i}", sd, f"{tp}.conv{i}")
+        _bn(p, s, f"bn{i}", sd, f"{tp}.bn{i}")
+    if f"{tp}.downsample.0.weight" in sd:
+        _conv_p(p, "downsample_conv", sd, f"{tp}.downsample.0")
+        _bn(p, s, "downsample_bn", sd, f"{tp}.downsample.1")
+
+
+def convert_hrnet_state_dict(sd, spec):
+    """torch PoseHigherResolutionNet state_dict -> (params, batch_stats)
+    for pemp_tpu.models.hrnet.PoseHigherResolutionNet.
+
+    ``spec``: HRNetSpec (drives stage/branch/block counts).
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    _conv_p(params, "conv1", sd, "conv1")
+    _conv_p(params, "conv2", sd, "conv2")
+    _bn(params, stats, "bn1", sd, "bn1")
+    _bn(params, stats, "bn2", sd, "bn2")
+    for k in range(4):
+        _bottleneck(params, stats, f"layer1_{k}", sd, f"layer1.{k}")
+
+    prev_branches = 1
+    prev_channels = [256]
+    for si, (num_modules, num_branches, num_blocks, num_channels) in enumerate(spec.stages):
+        t = si + 1
+        for i in range(num_branches):
+            if i < prev_branches:
+                if prev_channels[i] != num_channels[i]:
+                    _conv_p(params, f"transition{t}_{i}_conv", sd, f"transition{t}.{i}.0")
+                    _bn(params, stats, f"transition{t}_{i}_bn", sd, f"transition{t}.{i}.1")
+            else:
+                for j in range(i + 1 - prev_branches):
+                    _conv_p(params, f"transition{t}_{i}_{j}_conv", sd, f"transition{t}.{i}.{j}.0")
+                    _bn(params, stats, f"transition{t}_{i}_{j}_bn", sd, f"transition{t}.{i}.{j}.1")
+        for m in range(num_modules):
+            mod = f"stage{si + 2}_{m}"
+            tpm = f"stage{si + 2}.{m}"
+            p = params.setdefault(mod, {})
+            s = stats.setdefault(mod, {})
+            for i in range(num_branches):
+                for k in range(num_blocks[i]):
+                    _basic_block(p, s, f"branches_{i}_{k}", sd, f"{tpm}.branches.{i}.{k}")
+            last_module = m == num_modules - 1
+            is_last_stage = si == len(spec.stages) - 1
+            num_out = 1 if (is_last_stage and last_module) else num_branches
+            for i in range(num_out):
+                for j in range(num_branches):
+                    if j == i:
+                        continue
+                    if j > i:
+                        _conv_p(p, f"fuse_{i}_{j}_conv", sd, f"{tpm}.fuse_layers.{i}.{j}.0")
+                        _bn(p, s, f"fuse_{i}_{j}_bn", sd, f"{tpm}.fuse_layers.{i}.{j}.1")
+                    else:
+                        for k in range(i - j):
+                            _conv_p(p, f"fuse_{i}_{j}_{k}_conv", sd, f"{tpm}.fuse_layers.{i}.{j}.{k}.0")
+                            _bn(p, s, f"fuse_{i}_{j}_{k}_bn", sd, f"{tpm}.fuse_layers.{i}.{j}.{k}.1")
+        prev_branches = num_branches
+        prev_channels = list(num_channels)
+
+    _conv_p(params, "final_layers_0", sd, "final_layers.0", bias=True)
+    for i in range(spec.num_deconvs):
+        _conv_p(params, f"final_layers_{i + 1}", sd, f"final_layers.{i + 1}", bias=True)
+        _conv_p(params, f"deconv_{i}_conv", sd, f"deconv_layers.{i}.0.0", transpose=True)
+        _bn(params, stats, f"deconv_{i}_bn", sd, f"deconv_layers.{i}.0.1")
+        for k in range(spec.deconv_num_basic_blocks):
+            _basic_block(params, stats, f"deconv_{i}_block{k}", sd, f"deconv_layers.{i}.{k + 1}.0")
+
+    return params, stats
+
+
+RENAME_SCHEMES = {
+    # reference: PoseEstimation.py:15-27 / UpperBound.py:40-48
+    "plain": lambda k: k,
+    "strip2": lambda k: ".".join(k.split(".")[2:]),   # "model.module.X" -> "X"
+    "strip_prefix2char": lambda k: k[2:],              # "1." style prefixes
+    "strip1": lambda k: ".".join(k.split(".")[1:]),
+}
+
+
+def load_torch_state_dict(path, scheme="plain"):
+    """Load a .pth file (requires torch) and apply a rename scheme."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    if isinstance(sd, dict) and "model_state_dict" in sd:
+        sd = sd["model_state_dict"]
+    rename = RENAME_SCHEMES[scheme]
+    return {rename(k): v.numpy() for k, v in sd.items()}

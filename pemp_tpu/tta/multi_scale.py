@@ -1,0 +1,244 @@
+"""Multi-scale + flip test-time augmentation, TPU-batched.
+
+Re-design of the reference's multi_scale_inference
+(reference: src/Models/PoseEstimation/PoseEstimation.py:147-253,
+src/Utils/hr_utils/multi_scales_testing.py:1-389). The reference loops
+scales in python at batch=1, warps on the host with cv2, and crosses
+device<->host per scale. Here:
+
+  * host does only the cheap resize of the input image per scale (numpy warp,
+    reference-exact 64-multiple sizing) and pads to a shape *bucket* so XLA
+    compiles a handful of shapes instead of one per image
+  * the device runs forward + flip-forward, remaps flipped channels
+    (FLIP_CONFIG), projects every scale's heatmaps/tags/features onto the
+    common base canvas with jax.image.scale_and_translate (dynamic scale,
+    static shapes), and accumulates
+  * graph construction + MPN + decode then run once on the aggregate, with
+    the base-region validity mask doubling as the detection crowd mask
+
+Deviation from the reference (documented): flip/scale tag channels are
+averaged into one tag map before grouping instead of concatenated; the
+reference keeps them and uses vector norms (multi_scales_testing.py:144-195).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pemp_tpu.data.transforms import FLIP_CONFIG
+from pemp_tpu.geometry import get_affine_transform, get_multi_scale_size, warp_affine
+
+
+def _bucket(x: int, granularity: int = 128) -> int:
+    return int(-(-x // granularity) * granularity)
+
+
+class TTAPipeline:
+    """Host orchestration + cached per-bucket jitted device programs."""
+
+    def __init__(self, model, variables, config, with_decode: bool = True):
+        self.model = model
+        self.variables = variables
+        self.config = config
+        self.input_size = config.DATASET.INPUT_SIZE
+        self.scales = sorted(config.TEST.SCALE_FACTOR, reverse=True)
+        self.min_scale = min(config.TEST.SCALE_FACTOR)
+        self.flip = bool(config.TEST.FLIP_TEST)
+        dataset = "COCO" if "coco" in config.DATASET.DATASET else "CROWDPOSE"
+        if not config.TEST.FLIP_AND_REARANGE:
+            dataset = "COCO_WITHOUT_REARANGING"
+        self.flip_index = np.asarray(FLIP_CONFIG[dataset], np.int32)
+        self.num_joints = config.DATASET.NUM_JOINTS
+        self.with_decode = with_decode
+        self.node_threshold = config.MODEL.MPN.NODE_THRESHOLD
+        # PROJECT2IMAGE: aggregate at full input resolution and reverse-map
+        # with "short_with_resize"; otherwise at scoremap (half) resolution
+        # with "short" (reference: valid.py:25-33)
+        self.project2image = bool(config.TEST.PROJECT2IMAGE)
+        self._scale_fns = {}
+        self._head_fns = {}
+
+    # ------------------------------------------------------------------ host
+    def _prepare(self, image: np.ndarray):
+        """Resize per reference sizing; normalize; pad to buckets."""
+        h, w = image.shape[:2]
+        base_size, center, scale = get_multi_scale_size(
+            h, w, self.input_size, 1.0, self.min_scale
+        )
+        base_w, base_h = base_size  # network-input space at scale min
+        prepared = []
+        for s in self.scales:
+            size_resized, _, sc = get_multi_scale_size(h, w, self.input_size, s, self.min_scale)
+            mat = get_affine_transform(center, sc, size_resized)
+            img_r = warp_affine(image.astype(np.float32), mat, size_resized)
+            if img_r.max() > 1.5:
+                img_r = img_r / 255.0
+            img_r = (img_r - np.array([0.485, 0.456, 0.406], np.float32)) / np.array(
+                [0.229, 0.224, 0.225], np.float32
+            )
+            ws, hs = size_resized
+            hb, wb = _bucket(hs), _bucket(ws)
+            padded = np.zeros((hb, wb, 3), np.float32)
+            padded[:hs, :ws] = img_r
+            flipped = np.zeros_like(padded)
+            flipped[:hs, :ws] = img_r[:, ::-1]
+            prepared.append(dict(padded=padded, flipped=flipped, hs=hs, ws=ws))
+        return prepared, (base_h, base_w)
+
+    # ---------------------------------------------------------------- device
+    def _get_scale_fn(self, in_shape, out_shape):
+        key = (in_shape, out_shape)
+        if key in self._scale_fns:
+            return self._scale_fns[key]
+
+        model, variables = self.model, self.variables
+        flip_index = jnp.asarray(self.flip_index)
+        j = self.num_joints
+        bh, bw = out_shape
+        use_flip = self.flip
+
+        def run(padded, flipped, dims):
+            hs, ws, base_h, base_w = dims  # traced scalars (f32)
+
+            def forward(img):
+                _, scoremaps, features, tags = model.apply(
+                    variables, img[None], train=False,
+                    method=model.backbone_forward,
+                )
+                return scoremaps[0], features[0], tags[0]
+
+            sm, feat, tg = forward(padded)
+            n_acc = 1.0
+            if use_flip:
+                sm_f, _, tg_f = forward(flipped)
+                # un-flip: valid region [0, ws/2) maps back after flip+roll
+                half_w = sm_f.shape[1]
+                shift = (half_w - jnp.round(ws / 2.0)).astype(jnp.int32)
+                sm_f = jnp.roll(jnp.flip(sm_f, axis=1), -shift, axis=1)
+                tg_f = jnp.roll(jnp.flip(tg_f, axis=1), -shift, axis=1)
+                sm = sm + sm_f[:, :, flip_index]
+                tg = (tg + tg_f[:, :, flip_index]) / 2.0
+                n_acc = 2.0
+            sm = sm / n_acc
+
+            # project onto the base canvas (scale_and_translate: dynamic
+            # scale, static shapes) — reference project2image + aggregate
+            def project(x):
+                hh, ww = x.shape[0], x.shape[1]
+                # valid subregion of this tensor is (hs/2, ws/2) when the
+                # backbone output is half-res; infer from ratios
+                ratio_h = hh / float(in_shape[0])
+                ratio_w = ww / float(in_shape[1])
+                src_h = hs * ratio_h
+                src_w = ws * ratio_w
+                scale_vec = jnp.stack([base_h / src_h, base_w / src_w])
+                translate = jnp.zeros((2,), jnp.float32)
+                return jax.image.scale_and_translate(
+                    x, (bh, bw, x.shape[2]), (0, 1), scale_vec, translate,
+                    method="bilinear",
+                )
+
+            return project(sm), project(feat), project(tg)
+
+        fn = jax.jit(run)
+        self._scale_fns[key] = fn
+        return fn
+
+    def _get_head_fn(self, out_shape):
+        if out_shape in self._head_fns:
+            return self._head_fns[out_shape]
+        from pemp_tpu.decode.assembly import decode_poses
+        from pemp_tpu.graph.constructor import construct_graph_batch
+
+        model, variables = self.model, self.variables
+        gc = model.gc
+        nt = self.node_threshold
+        j = self.num_joints
+        with_decode = self.with_decode
+        cfg = self.config
+
+        def head(heat, feat, tags, base_hw):
+            base_h, base_w = base_hw
+            bh, bw = heat.shape[0], heat.shape[1]
+            yy = jnp.arange(bh)[:, None]
+            xx = jnp.arange(bw)[None, :]
+            base_mask = ((yy < base_h) & (xx < base_w)).astype(jnp.float32)
+
+            gb = construct_graph_batch(
+                gc, heat[None], feat[None], tags[None],
+                masks=base_mask[None], testing=True,
+            )
+            preds = model.apply(
+                variables, gb, train=False, method=model.mpn_forward
+            )
+            edge_pred = jax.nn.sigmoid(preds["edge"][-1])
+            node_pred = jax.nn.sigmoid(preds["node"][-1])
+            class_prob = (
+                jax.nn.softmax(preds["class"][-1], axis=-1)
+                if preds["class"] is not None
+                else None
+            )
+            out = dict(
+                nodes=gb.joint_det, node_scores=node_pred,
+                detector_scores=gb.joint_scores,
+                edge_index=gb.edge_index, edge_valid=gb.edge_valid,
+                edge_pred=edge_pred, node_valid=gb.node_valid,
+                class_prob=class_prob,
+            )
+            if with_decode:
+                persons, person_valid = decode_poses(
+                    jnp.transpose(heat, (2, 0, 1)),
+                    jnp.transpose(tags, (2, 0, 1)),
+                    gb.joint_det, node_pred, gb.edge_index, gb.edge_valid,
+                    edge_pred, gb.node_valid,
+                    node_threshold=nt, num_joints=j,
+                    class_probs=class_prob,
+                    with_fill_mean=cfg.TEST.FILL_MEAN,
+                    with_refine=cfg.TEST.WITH_REFINE,
+                    with_adjust=cfg.TEST.ADJUST,
+                )
+                out["persons"] = persons
+                out["person_valid"] = person_valid
+            return out
+
+        fn = jax.jit(head)
+        self._head_fns[out_shape] = fn
+        return fn
+
+    # ------------------------------------------------------------------ run
+    def __call__(self, image: np.ndarray):
+        prepared, (base_h, base_w) = self._prepare(image)
+        if self.project2image:
+            canvas_h, canvas_w = float(base_h), float(base_w)
+        else:
+            canvas_h, canvas_w = base_h / 2.0, base_w / 2.0
+        bh, bw = _bucket(int(canvas_h)), _bucket(int(canvas_w))
+        heat_acc = feat_acc = tag_acc = None
+        for p in prepared:
+            in_shape = p["padded"].shape[:2]
+            fn = self._get_scale_fn(in_shape, (bh, bw))
+            dims = jnp.asarray(
+                [p["hs"], p["ws"], canvas_h, canvas_w], jnp.float32
+            )
+            heat, feat, tg = fn(
+                jnp.asarray(p["padded"]), jnp.asarray(p["flipped"]), dims
+            )
+            heat_acc = heat if heat_acc is None else heat_acc + heat
+            feat_acc = feat if feat_acc is None else feat_acc + feat
+            tag_acc = tg if tag_acc is None else tag_acc + tg
+        n = float(len(self.scales))
+        heat_acc = heat_acc / n
+        feat_acc = feat_acc / n
+        tag_acc = tag_acc / n
+
+        head = self._get_head_fn((bh, bw))
+        out = head(heat_acc, feat_acc, tag_acc,
+                   jnp.asarray([canvas_h, canvas_w], jnp.float32))
+        out["base_size"] = (base_w, base_h)
+        out["scaling_type"] = "short_with_resize" if self.project2image else "short"
+        out["scoremaps"] = heat_acc
+        out["tags"] = tag_acc
+        return out

@@ -1,0 +1,68 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pemp_tpu.config import get_config, update_config
+from pemp_tpu.models import build_pose_model
+from pemp_tpu.tta import TTAPipeline
+
+
+@pytest.fixture(scope="module")
+def tta_setup():
+    cfg = get_config()
+    cfg = update_config(cfg, "configs/hybrid_class_agnostic_end2end/model_58_4.yaml")
+    cfg.defrost()
+    cfg.MODEL.KP = "hourglass"       # small/fast backbone for CPU tests
+    cfg.MODEL.HG.NSTACK = 1
+    cfg.MODEL.HG.INPUT_DIM = 16
+    cfg.MODEL.HG.OUTPUT_DIM = 40
+    cfg.MODEL.KP_OUTPUT_DIM = 16
+    cfg.MODEL.MPN.STEPS = 2
+    cfg.MODEL.MPN.NODE_INPUT_DIM = 32
+    cfg.TPU.NODES_PER_TYPE = 4
+    cfg.TPU.KNN_K = 5
+    cfg.DATASET.INPUT_SIZE = 128
+    cfg.TEST.SCALE_FACTOR = [1.0, 2.0]
+    cfg.TEST.FLIP_TEST = True
+    cfg.TEST.PROJECT2IMAGE = True
+    cfg.TEST.WITH_REFINE = False     # keep the test fast
+    cfg.freeze()
+    model = build_pose_model(cfg)
+    img = jnp.zeros((1, 128, 128, 3))
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    return cfg, model, variables
+
+
+def test_tta_runs_and_shapes(tta_setup):
+    cfg, model, variables = tta_setup
+    pipe = TTAPipeline(model, variables, cfg)
+    image = (np.random.RandomState(0).rand(180, 240, 3) * 255).astype(np.uint8)
+    out = pipe(image)
+    assert out["scaling_type"] == "short_with_resize"
+    assert out["persons"].shape[1:] == (17, 3)
+    sm = np.asarray(out["scoremaps"])
+    assert np.isfinite(sm).all()
+    # canvas bucket covers the base size
+    bw, bh = out["base_size"]
+    assert sm.shape[0] >= bh and sm.shape[1] >= bw
+
+
+def test_tta_shape_bucketing_caches_compiles(tta_setup):
+    cfg, model, variables = tta_setup
+    pipe = TTAPipeline(model, variables, cfg)
+    rng = np.random.RandomState(1)
+    # images with slightly different sizes land in the same buckets
+    for h, w in [(180, 240), (190, 250), (170, 230)]:
+        pipe((rng.rand(h, w, 3) * 255).astype(np.uint8))
+    assert len(pipe._scale_fns) <= 4
+    assert len(pipe._head_fns) <= 2
+
+
+def test_tta_portrait_orientation(tta_setup):
+    cfg, model, variables = tta_setup
+    pipe = TTAPipeline(model, variables, cfg)
+    image = (np.random.RandomState(2).rand(240, 180, 3) * 255).astype(np.uint8)
+    out = pipe(image)
+    bw, bh = out["base_size"]
+    assert bh > bw
