@@ -31,6 +31,11 @@ class PoseEstimationAeGroup(nn.Module):
             nstack, inp_dim, oup_dim = self.hg_cfg
             self.backbone = PoseNet(nstack, inp_dim, oup_dim, dtype=self.dtype)
 
+    def backbone_forward(self, imgs, train: bool = False, backbone_train=None):
+        """TTAPipeline-compatible signature (no learned feature gather)."""
+        bb_out, scoremaps, tags = self(imgs, train=train)
+        return bb_out, scoremaps, jnp.zeros_like(scoremaps), tags
+
     def __call__(self, imgs, train: bool = False):
         bb_out, feat = self.backbone(imgs, train=train)
         if self.backbone_name in ("hrnet", "mmpose_hrnet"):

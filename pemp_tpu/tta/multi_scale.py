@@ -39,7 +39,9 @@ def _bucket(x: int, granularity: int = 128) -> int:
 class TTAPipeline:
     """Host orchestration + cached per-bucket jitted device programs."""
 
-    def __init__(self, model, variables, config, with_decode: bool = True):
+    def __init__(self, model, variables, config, with_decode: bool = True,
+                 maps_only: bool = False):
+        self.maps_only = maps_only  # aggregate heat/tags only (valid_hr path)
         self.model = model
         self.variables = variables
         self.config = config
@@ -234,10 +236,14 @@ class TTAPipeline:
         feat_acc = feat_acc / n
         tag_acc = tag_acc / n
 
-        head = self._get_head_fn((bh, bw))
-        out = head(heat_acc, feat_acc, tag_acc,
-                   jnp.asarray([canvas_h, canvas_w], jnp.float32))
+        if self.maps_only:
+            out = {}
+        else:
+            head = self._get_head_fn((bh, bw))
+            out = head(heat_acc, feat_acc, tag_acc,
+                       jnp.asarray([canvas_h, canvas_w], jnp.float32))
         out["base_size"] = (base_w, base_h)
+        out["canvas_size"] = (int(canvas_h), int(canvas_w))
         out["scaling_type"] = "short_with_resize" if self.project2image else "short"
         out["scoremaps"] = heat_acc
         out["tags"] = tag_acc

@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""MPN model evaluation entry point.
+
+Mirrors the reference CLI (reference: src/valid.py:15-23):
+
+    python tools/valid.py --config hybrid_class_agnostic_end2end/model_58_4 \
+        --out_file eval.txt [KEY VALUE ...]
+
+Per image: multi-scale + flip TTA (TPU-batched), graph + MPN, on-device or
+correlation-clustering grouping, refine/adjust, reverse affine map, COCO/
+CrowdPose OKS evaluation — structured like src/valid.py:94-183 with the
+host<->device boundary moved to after quarter-pixel adjustment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate the MPN pose model")
+    p.add_argument("--config", required=True)
+    p.add_argument("--out_file", required=True)
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("options", nargs=argparse.REMAINDER, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pemp_tpu.config import get_config, update_config, update_config_command
+    from pemp_tpu.cluster import cluster_labels
+    from pemp_tpu.data import CocoKeypoints, CocoKeypointsTest, CrowdPoseKeypoints, OCHumans, transforms_to_tensor
+    from pemp_tpu.decode.format import persons_to_ann
+    from pemp_tpu.eval import EvalWriter
+    from pemp_tpu.eval.coco_eval import coco_eval  # noqa: F401 (EvalWriter uses it)
+    from pemp_tpu.geometry import get_scaling_type
+    from pemp_tpu.models import build_pose_model
+    from pemp_tpu.train.checkpoint import load_params_only
+    from pemp_tpu.tta import TTAPipeline
+
+    config = get_config()
+    cfg_file = args.config if args.config.endswith(".yaml") else f"configs/{args.config}.yaml"
+    config = update_config(config, cfg_file)
+    config = update_config_command(config, args.options)
+    if not config.LOG_DIR:
+        config.defrost()
+        config.LOG_DIR = "tmp"
+        config.freeze()
+    eval_writer = EvalWriter(config, fname=args.out_file)
+    scaling_type = get_scaling_type(config)
+
+    transforms, _ = transforms_to_tensor(config)
+    split = config.TEST.SPLIT
+    if split == "coco_17_full":
+        eval_set = CocoKeypoints(
+            config.DATASET.ROOT, mini=False, seed=0, mode="val", year=17,
+            transforms=None, mask_crowds=False, filter_empty=False,
+        )
+    elif split == "coco_17_mini":
+        eval_set = CocoKeypoints(
+            config.DATASET.ROOT, mini=True, seed=0, mode="val", year=17,
+            transforms=None, mask_crowds=False, filter_empty=False,
+        )
+    elif split == "test-dev2017":
+        eval_set = CocoKeypointsTest(config.DATASET.ROOT, seed=0, year=17)
+    elif split == "crowd_pose_test":
+        eval_set = CrowdPoseKeypoints(
+            config.DATASET.ROOT, mini=False, seed=0, mode="test",
+            transforms=None, filter_empty=False,
+        )
+    elif split in ("ochuman_valid", "ochuman_test"):
+        eval_set = OCHumans(
+            config.DATASET.ROOT, mode=split.split("_")[1], transforms=None
+        )
+    else:
+        raise NotImplementedError(split)
+
+    model = build_pose_model(config)
+    in_size = config.DATASET.INPUT_SIZE
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, in_size, in_size, 3)), train=False
+    )
+    if config.MODEL.PRETRAINED and os.path.exists(config.MODEL.PRETRAINED):
+        params, stats = load_params_only(
+            config.MODEL.PRETRAINED, variables["params"], variables["batch_stats"]
+        )
+        variables = {"params": params, "batch_stats": stats}
+        print(f"loaded checkpoint {config.MODEL.PRETRAINED}")
+    else:
+        print("WARNING: no checkpoint found, evaluating random weights")
+
+    cc_method = config.MODEL.GC.CC_METHOD
+    on_device_decode = cc_method in ("threshold", "greedy")
+    pipe = TTAPipeline(model, variables, config, with_decode=on_device_decode)
+
+    anns, eval_ids = [], []
+    dur_kpt, dur_constr = [], []
+    n = len(eval_set) if args.max_images is None else min(args.max_images, len(eval_set))
+    num_joints = config.DATASET.NUM_JOINTS
+    for i in range(n):
+        img_id = int(eval_set.img_ids[i])
+        eval_ids.append(img_id)
+        _, _, info, image = eval_set.load_raw(i) if hasattr(eval_set, "load_raw") else (
+            None, None, eval_set.coco.loadImgs(img_id)[0], eval_set[i][0],
+        )
+        t0 = time.perf_counter()
+        out = pipe(np.asarray(image))
+        dur_kpt.append(time.perf_counter() - t0)
+
+        t0 = time.perf_counter()
+        if on_device_decode:
+            persons, person_valid = out["persons"], out["person_valid"]
+        else:
+            # host correlation clustering (GAEC/KL/MUT) on the MPN edge scores
+            from pemp_tpu.decode.assembly import decode_poses
+
+            nodes = np.asarray(out["nodes"])
+            nscore = np.asarray(out["node_scores"])
+            nvalid = np.asarray(out["node_valid"])
+            ei = np.asarray(out["edge_index"])
+            ev = np.asarray(out["edge_valid"])
+            ep = np.asarray(out["edge_pred"])
+            keep = nvalid & (nscore > config.MODEL.MPN.NODE_THRESHOLD)
+            sel = ev & keep[ei[0]] & keep[ei[1]]
+            labels = cluster_labels(ei[:, sel], ep[sel] - 0.5, len(nodes), cc_method)
+            persons, person_valid = decode_poses(
+                jnp.transpose(out["scoremaps"], (2, 0, 1)),
+                jnp.transpose(out["tags"], (2, 0, 1)),
+                jnp.asarray(nodes), jnp.asarray(nscore), jnp.asarray(ei),
+                jnp.asarray(ev), jnp.asarray(ep), jnp.asarray(nvalid),
+                node_threshold=config.MODEL.MPN.NODE_THRESHOLD,
+                num_joints=num_joints,
+                class_probs=jnp.asarray(out["class_prob"]) if out["class_prob"] is not None else None,
+                with_fill_mean=config.TEST.FILL_MEAN,
+                with_refine=config.TEST.WITH_REFINE,
+                with_adjust=config.TEST.ADJUST,
+                cluster_labels=jnp.asarray(labels),
+            )
+        ann = persons_to_ann(
+            persons, person_valid, out["base_size"], in_size, img_id,
+            out["scaling_type"], min(config.TEST.SCALE_FACTOR),
+            scoring_method=config.TEST.SCORING,
+        )
+        dur_constr.append(time.perf_counter() - t0)
+        if ann is not None:
+            anns.append(ann)
+        if (i + 1) % 50 == 0:
+            print(f"{i + 1}/{n} images, {np.mean(dur_kpt[-50:]):.3f}s/img fwd")
+
+    if split == "test-dev2017":
+        from pemp_tpu.eval.coco_eval import coco_eval as _  # noqa: F401
+        import json
+
+        with open(os.path.join(config.LOG_DIR, "person_keypoints_test-dev2017_mpn_results.json"), "w") as f:
+            json.dump(sum(anns, []), f)
+    else:
+        eval_writer.eval_coco(
+            eval_set.coco, anns, np.array(eval_ids), "General Evaluation",
+            f"person_keypoints_{split}_mpn_results.json",
+        )
+        eval_writer.eval_speed("kpt_detector", dur_kpt, "pose_constr", dur_constr)
+        eval_writer.close()
+
+
+if __name__ == "__main__":
+    main()
