@@ -140,9 +140,15 @@ def refine_ae(scoremaps, tagmaps, persons, person_valid):
         y = y + jnp.where(down > up, 0.25, -0.25)
         return jnp.stack([x, y, val], axis=-1)  # (J, 3)
 
-    # lax.map (sequential) keeps peak memory at one (J, H, W) workspace —
-    # vmap would materialize all P at once (heavy at full-res TTA canvases)
-    ans = jax.lax.map(per_person, mean_tag)  # (P, J, 3)
+    # chunked vmap: parallel enough to fill the VPU, bounded peak memory
+    # (full vmap would materialize P x (J, H, W) workspaces at once — heavy
+    # at full-res TTA canvases; fully sequential lax.map is latency-bound)
+    p = mean_tag.shape[0]
+    chunk = max(1, min(p, int(64 * 1024 * 1024 / max(scoremaps.size * 4, 1))))
+    while p % chunk:
+        chunk -= 1
+    ans = jax.lax.map(jax.vmap(per_person), mean_tag.reshape(p // chunk, chunk))
+    ans = ans.reshape(p, j, 3)
     add = (~present) & (ans[:, :, 2] > 0) & person_valid[:, None]
     new_xy = jnp.where(add[..., None], ans[:, :, :2], persons[:, :, :2])
     new_s = jnp.where(add, 1e-3, persons[:, :, 2])

@@ -43,6 +43,8 @@ class GCConfig:
     num_joints: int = 17
     nodes_per_type: int = 40
     knn_k: int = 50
+    target_major: bool = True   # blocked in-edge layout (fast aggregation)
+    knn_cap_in: int = 50        # capacity for asymmetric transpose edges
     pool_kernel: int = 3
     detect_threshold: float | None = 0.1
     hybrid_k: int = 5
@@ -64,10 +66,13 @@ class GCConfig:
     def from_config(cls, config) -> "GCConfig":
         gc = config.MODEL.GC
         th = gc.DETECT_THRESHOLD if gc.DETECT_THRESHOLD <= 1.5 else None
+        cap_in = config.TPU.KNN_CAP_IN if "KNN_CAP_IN" in config.TPU else -1
         return cls(
             num_joints=config.DATASET.NUM_JOINTS,
             nodes_per_type=config.TPU.NODES_PER_TYPE,
             knn_k=config.TPU.KNN_K,
+            target_major=bool(config.TPU.TARGET_MAJOR) if "TARGET_MAJOR" in config.TPU else True,
+            knn_cap_in=cap_in if cap_in > 0 else config.TPU.KNN_K,
             pool_kernel=gc.POOL_KERNEL_SIZE,
             detect_threshold=th,
             hybrid_k=gc.HYBRID_K,
@@ -119,6 +124,10 @@ jax.tree_util.register_dataclass(
 def _build_edges(cfg: GCConfig, det, valid, scores, node_feats):
     pos = det[:, :2].astype(jnp.float32)
     if cfg.graph_type == "knn":
+        if cfg.target_major:
+            from pemp_tpu.ops.knn import knn_edges_target_major
+
+            return knn_edges_target_major(pos, valid, cfg.knn_k, cfg.knn_cap_in)
         return knn_edges(pos, valid, cfg.knn_k)
     if cfg.graph_type == "fully":
         return fully_connected_edges(valid)

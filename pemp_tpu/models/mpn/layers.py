@@ -22,6 +22,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from pemp_tpu.ops.segment import (
+    blocked_aggregate,
+    blocked_per_type_aggregate,
+    blocked_per_type_attention_aggregate,
     per_type_aggregate,
     per_type_attention_aggregate,
     segment_aggregate,
@@ -146,11 +149,12 @@ class TypeAwareLinear(nn.Module):
     Replaces the reference's ModuleList-of-Linear + boolean indexing
     (layers.py:260-303) with one batched weight tensor: the contraction runs
     as a single (E, Din) x (Din, T*Dout) matmul on the MXU, then a gather
-    picks each element's type slice.
+    picks each element's type slice. Computation runs in ``dtype``.
     """
 
     num_types: int
     features: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, types):
@@ -163,9 +167,51 @@ class TypeAwareLinear(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.num_types, self.features)
         )
-        y = jnp.einsum("ei,tio->eto", x, kernel)
+        kernel = jnp.asarray(kernel, self.dtype)
+        y = jnp.einsum("ei,tio->eto", x.astype(self.dtype), kernel)
         out = jnp.take_along_axis(y, types[:, None, None], axis=1)[:, 0]
-        return out + bias[types]
+        # jnp.take keeps this valid when params arrive as host numpy arrays
+        # (checkpoint restore) and the index is a tracer
+        return out + jnp.take(jnp.asarray(bias, self.dtype), types, axis=0)
+
+
+class TypeAwareSplitLinear(nn.Module):
+    """Type-selected Linear over a concat [node_part, edge_part] input where
+    the node part repeats across a node's edges.
+
+    Exploits that distinct (node, type) pairs number N*T << E: the node-part
+    contraction is computed once per (node, type) and gathered per edge,
+    leaving only the (smaller) edge part in the E-major per-type matmul.
+    Mathematically identical to TypeAwareLinear on the concatenation.
+    """
+
+    num_types: int
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, node_part, node_of_edge, edge_part, types):
+        dn = node_part.shape[-1]
+        de = edge_part.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(0,)),
+            (self.num_types, dn + de, self.features),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_types, self.features)
+        )
+        kernel = jnp.asarray(kernel, self.dtype)
+        wn, we = kernel[:, :dn], kernel[:, dn:]
+        # node part: (N, T, D) — tiny — then one flat (node, type) gather per
+        # edge; never materializes an (E, T, D) tensor
+        a = jnp.einsum("ni,tio->nto", node_part.astype(self.dtype), wn)
+        a_flat = a.reshape(-1, self.features)
+        a_sel = a_flat[node_of_edge * self.num_types + types]
+        # edge part: per-type matmul on the smaller edge features only
+        b = jnp.einsum("ei,tio->eto", edge_part.astype(self.dtype), we)
+        b_sel = jnp.take_along_axis(b, types[:, None, None], axis=1)[:, 0]
+        return a_sel + b_sel + jnp.take(jnp.asarray(bias, self.dtype), types, axis=0)
 
 
 class TypeAwareEdgeUpdate(nn.Module):
@@ -228,6 +274,7 @@ class MPLayer(nn.Module):
     use_node_update_mlp: bool = False
     edge_mlp: str = "agnostic"
     num_types: int = 17
+    blocked_c: int = 0  # >0: edges are target-major blocks of this size
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -253,7 +300,10 @@ class MPLayer(nn.Module):
         m = nn.Dense(self.node_feature_dim, dtype=self.dtype, name="mlp_node")(m)
         m = nn.relu(m)
 
-        aggr_out = segment_aggregate(m, i, num_nodes, self.aggr, edge_valid)
+        if self.blocked_c:
+            aggr_out = blocked_aggregate(m, num_nodes, self.aggr, edge_valid)
+        else:
+            aggr_out = segment_aggregate(m, i, num_nodes, self.aggr, edge_valid)
         if self.use_node_update_mlp:
             aggr_out = nn.relu(
                 nn.Dense(self.node_feature_dim, dtype=self.dtype, name="update_mlp")(aggr_out)
@@ -274,6 +324,7 @@ class TypeAwareMPNLayer(nn.Module):
     num_types: int = 17
     aggr_sub: str = "None"
     update_type: str = "mlp"
+    blocked_c: int = 0  # >0: edges are target-major blocks of this size
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -296,11 +347,12 @@ class TypeAwareMPNLayer(nn.Module):
         else:
             raise NotImplementedError(self.edge_mlp)
 
-        # per-source-type message MLP (reference TypeAwareNodeUpdate)
-        msg_in = jnp.concatenate([x_i, new_edge], axis=-1)
-        m = TypeAwareLinear(self.num_types, self.node_feature_dim, name="mlp_node")(
-            msg_in, src_type
-        )
+        # per-source-type message MLP (reference TypeAwareNodeUpdate); the
+        # split form computes the target-node contraction once per
+        # (node, type) instead of per edge
+        m = TypeAwareSplitLinear(
+            self.num_types, self.node_feature_dim, dtype=self.dtype, name="mlp_node"
+        )(x, i, new_edge, src_type)
         m = nn.relu(m)
 
         if self.aggr_sub in ("node_edge_attn", "node_edge_attn_per_type"):
@@ -310,13 +362,23 @@ class TypeAwareMPNLayer(nn.Module):
                 per_edge_score = scores[:, 0]
             else:
                 per_edge_score = jnp.take_along_axis(scores, src_type[:, None], axis=1)[:, 0]
-            updates = per_type_attention_aggregate(
-                m, per_edge_score, i, src_type, num_nodes, self.num_types, edge_valid
-            )
+            if self.blocked_c:
+                updates = blocked_per_type_attention_aggregate(
+                    m, per_edge_score, src_type, num_nodes, self.num_types, edge_valid
+                )
+            else:
+                updates = per_type_attention_aggregate(
+                    m, per_edge_score, i, src_type, num_nodes, self.num_types, edge_valid
+                )
         else:
-            updates = per_type_aggregate(
-                m, i, src_type, num_nodes, self.num_types, self.aggr, edge_valid
-            )
+            if self.blocked_c:
+                updates = blocked_per_type_aggregate(
+                    m, src_type, num_nodes, self.num_types, self.aggr, edge_valid
+                )
+            else:
+                updates = per_type_aggregate(
+                    m, i, src_type, num_nodes, self.num_types, self.aggr, edge_valid
+                )
 
         if self.update_type == "mlp":
             flat = updates.reshape(num_nodes, -1)

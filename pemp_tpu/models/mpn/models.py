@@ -84,6 +84,7 @@ class _StepBody(nn.Module):
         else:
             nf, ef = node_features, edge_features
 
+        blocked_c = c.get("_BLOCKED_C", 0)
         if c["AGGR_TYPE"] == "agnostic":
             new_nodes, new_edges = MPLayer(
                 c["NODE_FEATURE_DIM"],
@@ -93,6 +94,7 @@ class _StepBody(nn.Module):
                 use_node_update_mlp=c["USE_NODE_UPDATE_MLP"],
                 edge_mlp=c["EDGE_MLP"],
                 num_types=self.num_types,
+                blocked_c=blocked_c,
                 dtype=self.dtype,
                 name="layer",
             )(nf, ef, edge_index, node_types, edge_valid)
@@ -106,6 +108,7 @@ class _StepBody(nn.Module):
                 num_types=self.num_types,
                 aggr_sub=c["AGGR_SUB"],
                 update_type=c["UPDATE_TYPE"],
+                blocked_c=blocked_c,
                 dtype=self.dtype,
                 name="layer",
             )(nf, ef, edge_index, node_types, edge_valid)

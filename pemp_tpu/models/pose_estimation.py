@@ -173,12 +173,21 @@ def build_pose_model(config, dtype=jnp.float32) -> PoseEstimationBaseline:
             config.MODEL.HG.INPUT_DIM,
             config.MODEL.HG.OUTPUT_DIM,
         )
+    gc = GCConfig.from_config(config)
+    mpn_cfg = mpn_cfg_from_config(config.MODEL.MPN)
+    if gc.target_major and gc.graph_type == "knn":
+        # tell the MPN that edges arrive in target-major blocks so it uses
+        # dense per-block aggregation instead of segment scatters (block size
+        # must mirror the builder's internal k clamp)
+        n_nodes = gc.num_joints * gc.nodes_per_type
+        k_eff = min(gc.knn_k, max(n_nodes - 1, 1))
+        mpn_cfg["_BLOCKED_C"] = k_eff + gc.knn_cap_in
     return PoseEstimationBaseline(
         backbone_name=backbone_name,
         hrnet_spec=hrnet_spec,
         hg_cfg=hg_cfg,
-        gc=GCConfig.from_config(config),
-        mpn_cfg=mpn_cfg_from_config(config.MODEL.MPN),
+        gc=gc,
+        mpn_cfg=mpn_cfg,
         num_joints=config.DATASET.NUM_JOINTS,
         feature_gather_kernel=config.MODEL.FEATURE_GATHER_KERNEL,
         node_input_dim=config.MODEL.MPN.NODE_INPUT_DIM,

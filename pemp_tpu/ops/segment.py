@@ -108,3 +108,88 @@ def _expand(valid, data):
 
 def _expand_to(x, ref):
     return x.reshape(x.shape + (1,) * (ref.ndim - x.ndim))
+
+
+# ---------------------------------------------------------------------------
+# Blocked (target-major) variants: edges arranged so node i's in-edges occupy
+# slots [i*C, (i+1)*C). All "scatters" become dense per-block reductions —
+# the fast path on TPU (no scatter lowering, pure VPU/MXU work).
+# ---------------------------------------------------------------------------
+
+
+def blocked_aggregate(data, num_nodes, kind, valid=None):
+    """data (N*C, D) target-major -> (N, D) reduction over each block."""
+    d = data.shape[-1]
+    x = data.reshape(num_nodes, -1, d)
+    if valid is not None:
+        v = valid.reshape(num_nodes, -1, 1)
+    else:
+        v = None
+    if kind == "add":
+        if v is not None:
+            x = jnp.where(v, x, 0.0)
+        return x.sum(axis=1)
+    if kind == "max":
+        if v is not None:
+            x = jnp.where(v, x, _NEG)
+        out = x.max(axis=1)
+        return jnp.where(out <= _NEG / 2, 0.0, out)
+    if kind == "mean":
+        if v is not None:
+            x = jnp.where(v, x, 0.0)
+            cnt = jnp.maximum(v.sum(axis=1), 1.0)
+        else:
+            cnt = jnp.float32(x.shape[1])
+        return x.sum(axis=1) / cnt
+    raise NotImplementedError(kind)
+
+
+def blocked_per_type_aggregate(data, source_types, num_nodes, num_types, kind, valid=None):
+    """(N*C, D) -> (N, T, D): reduce each block grouped by source type.
+
+    One one-hot einsum instead of the reference's 17-scatter loop or a
+    combined-index scatter: updates[n, t] = aggr over slots with type t.
+    """
+    d = data.shape[-1]
+    x = data.reshape(num_nodes, -1, d)
+    t = source_types.reshape(num_nodes, -1)
+    hot = jax.nn.one_hot(t, num_types, dtype=data.dtype)  # (N, C, T)
+    if valid is not None:
+        hot = hot * valid.reshape(num_nodes, -1, 1).astype(data.dtype)
+    if kind == "add":
+        return jnp.einsum("nct,ncd->ntd", hot, x)
+    if kind == "mean":
+        s = jnp.einsum("nct,ncd->ntd", hot, x)
+        cnt = jnp.maximum(hot.sum(axis=1), 1.0)
+        return s / cnt[..., None]
+    if kind == "max":
+        big = jnp.where(hot[..., None] > 0, x[:, :, None, :], _NEG)  # (N, C, T, D)
+        out = big.max(axis=1)
+        return jnp.where(out <= _NEG / 2, 0.0, out)
+    raise NotImplementedError(kind)
+
+
+def blocked_per_type_attention_aggregate(data, attn_scores, source_types,
+                                         num_nodes, num_types, valid=None):
+    """Attention softmax within each (node, source-type) group, then sum.
+
+    Dense masked softmax over the block axis; no segment ops.
+    Returns (N, T, D).
+    """
+    d = data.shape[-1]
+    x = data.reshape(num_nodes, -1, d)
+    c = x.shape[1]
+    t = source_types.reshape(num_nodes, c)
+    a = attn_scores.reshape(num_nodes, c)
+    hot = jax.nn.one_hot(t, num_types, dtype=data.dtype)  # (N, C, T)
+    if valid is not None:
+        hot = hot * valid.reshape(num_nodes, c, 1).astype(data.dtype)
+    # masked softmax over slots within each type column
+    neg = jnp.asarray(_NEG, data.dtype)
+    scores = jnp.where(hot > 0, a[:, :, None], neg)  # (N, C, T)
+    m = scores.max(axis=1, keepdims=True)
+    m = jnp.where(m <= _NEG / 2, 0.0, m)
+    e = jnp.exp(scores - m) * (hot > 0)
+    denom = jnp.maximum(e.sum(axis=1, keepdims=True), 1e-16)
+    w = e / denom  # (N, C, T)
+    return jnp.einsum("nct,ncd->ntd", w, x)
