@@ -61,6 +61,7 @@ class GCConfig:
     with_background: bool = False
     mask_crowds: bool = True
     matcher: str = "auction"  # auction | greedy
+    node_dropout: float = 0.0
 
     @classmethod
     def from_config(cls, config) -> "GCConfig":
@@ -89,6 +90,7 @@ class GCConfig:
             with_background=gc.WITH_BACKGROUND,
             mask_crowds=gc.MASK_CROWDS,
             matcher="greedy" if config.TPU.MATCHER == "greedy" else "auction",
+            node_dropout=gc.NODE_DROPOUT,
         )
 
 
@@ -245,7 +247,8 @@ def _edge_labels_from_persons(node_persons, edge_index):
     return jnp.where((ps >= 0) & (ps == pd), 1.0, 0.0)
 
 
-def _construct_labels(cfg: GCConfig, det, det_valid, edge_index, joints_gt, factors, hw):
+def _construct_labels(cfg: GCConfig, det, det_valid, edge_index, joints_gt, factors, hw,
+                      **kwargs):
     """EDGE_LABEL_METHODs on-device.
 
     Method 6 (flagship, semi-agnostic two-pass; ConstructGraph.py:769-942):
@@ -328,7 +331,38 @@ def _construct_labels(cfg: GCConfig, det, det_valid, edge_index, joints_gt, fact
             class_mask=node_labels,
         )
 
-    if method in (6, 7):
+    if method == 7:
+        # GT-injection variant: injected slots are labelled directly; the
+        # original detections get a pure-agnostic single-pass matching
+        # (reference method==3 branch of _construct_edge_labels_7, :987-998)
+        injected = kwargs.get("injected_mask")
+        if injected is None:
+            injected = jnp.zeros((n,), bool)
+        sim_m = jnp.where(sim < cfg.matching_radius, 0.0, sim)
+        sim_m = jnp.where(injected[None, :], 0.0, sim_m)  # match real dets only
+        col = _assign(cfg, sim_m)
+        node_labels, node_persons, node_classes = _labels_from_matching(
+            n, col, gt_valid, gt_person, gt_type
+        )
+        # injected detections carry their own GT identity
+        inj_person = kwargs.get("injected_person")
+        inj_class = kwargs.get("injected_class")
+        node_labels = jnp.where(injected, 1.0, node_labels)
+        node_persons = jnp.where(injected, inj_person, node_persons)
+        node_classes = jnp.where(injected, inj_class, node_classes)
+
+        edge_labels = _edge_labels_from_persons(node_persons, edge_index)
+        label_mask = jnp.where(jnp.max(edge_labels) > 0, 1.0, 0.0) * jnp.ones(
+            (edge_index.shape[1],), jnp.float32
+        )
+        return dict(
+            edge_labels=edge_labels, node_labels=node_labels,
+            node_classes=node_classes, node_persons=node_persons,
+            label_mask=label_mask, label_mask_node=jnp.ones((n,), jnp.float32),
+            class_mask=node_labels,
+        )
+
+    if method == 6:
         # semi-agnostic two-pass (reference method==2 branch, :807-829)
         sim_same = jnp.where(same_type, sim, 0.0)
         sim_same = jnp.where(sim_same < cfg.matching_radius, 0.0, sim_same)
@@ -417,6 +451,7 @@ def construct_graph_batch(
     factors=None,    # (B, P, J)
     masks=None,      # (B, H, W) crowd masks
     testing: bool = False,
+    rng=None,        # PRNGKey for method-7 GT jitter / node dropout
 ) -> GraphBatch:
     """Batched graph construction; returns the flattened disjoint batch graph."""
     b, h, w, j = scoremaps.shape
@@ -434,7 +469,19 @@ def construct_graph_batch(
         # (reference: ConstructGraph.py:76-87)
         det, scores, valid = _gt_as_detections(cfg, joints_gt, (h, w), n)
 
-    def per_image(det_i, scores_i, valid_i, features_i, tagmaps_i, joints_i, factors_i):
+    injected = inj_person = inj_class = None
+    if (
+        cfg.edge_label_method == 7
+        and not testing
+        and not cfg.use_gt
+        and joints_gt is not None
+    ):
+        det, scores, valid, injected, inj_person, inj_class = _inject_gt_detections(
+            cfg, det, scores, valid, sm, joints_gt, rng
+        )
+
+    def per_image(det_i, scores_i, valid_i, features_i, tagmaps_i, joints_i,
+                  factors_i, inj_i=None, inj_p_i=None, inj_c_i=None):
         node_feats = features_i[det_i[:, 1], det_i[:, 0]]  # (N, C)
         tags_i_at = tagmaps_i[det_i[:, 1], det_i[:, 0], det_i[:, 2]]
         edge_index, edge_valid = _build_edges(cfg, det_i, valid_i, scores_i, node_feats)
@@ -445,12 +492,24 @@ def construct_graph_batch(
         )
         if joints_i is not None:
             out.update(
-                _construct_labels(cfg, det_i, valid_i, edge_index, joints_i, factors_i, (h, w))
+                _construct_labels(
+                    cfg, det_i, valid_i, edge_index, joints_i, factors_i, (h, w),
+                    injected_mask=inj_i, injected_person=inj_p_i,
+                    injected_class=inj_c_i,
+                )
             )
         return out
 
     if joints_gt is not None:
-        per = jax.vmap(per_image)(det, scores, valid, features, tagmaps, joints_gt, factors)
+        if injected is not None:
+            per = jax.vmap(per_image)(
+                det, scores, valid, features, tagmaps, joints_gt, factors,
+                injected, inj_person, inj_class,
+            )
+        else:
+            per = jax.vmap(
+                lambda d, s, v, f, t, g, fa: per_image(d, s, v, f, t, g, fa)
+            )(det, scores, valid, features, tagmaps, joints_gt, factors)
     else:
         per = jax.vmap(
             lambda d, s, v, f, t: per_image(d, s, v, f, t, None, None)
@@ -484,6 +543,16 @@ def construct_graph_batch(
         gb.label_mask = flat(per["label_mask"])
         gb.label_mask_node = flat(per["label_mask_node"])
         gb.class_mask = flat(per["class_mask"])
+        if cfg.node_dropout > 0 and not testing and rng is not None:
+            # drop label-positive nodes with prob p; edges touching a dropped
+            # node become invalid (reference: ConstructGraph.py:152-168,
+            # which rebuilds the subgraph — masking is the padded equivalent)
+            drop_rng = jax.random.fold_in(rng, 1)
+            rnd = jax.random.bernoulli(drop_rng, cfg.node_dropout, gb.node_labels.shape)
+            keep = ~(rnd & (gb.node_labels == 1.0))
+            gb.node_valid = gb.node_valid & keep
+            src, dst = gb.edge_index[0], gb.edge_index[1]
+            gb.edge_valid = gb.edge_valid & keep[src] & keep[dst]
     return gb
 
 
@@ -506,3 +575,70 @@ def _gt_as_detections(cfg: GCConfig, joints_gt, hw, n):
     else:
         det, scores, gt_valid = det[:, :n], scores[:, :n], gt_valid[:, :n]
     return det, scores, gt_valid
+
+
+def _inject_gt_detections(cfg: GCConfig, det, scores, valid, sm, joints_gt, rng):
+    """Method-7 GT injection: jittered GT joints become extra detections.
+
+    The reference concatenates them (dynamic shape,
+    ConstructGraph.py:88-98); here each GT joint of type t is slotted into a
+    *free padded slot* of type block t, keeping N = J*K static. GT joints of
+    a type whose block is full are dropped (rare: blocks hold K slots and the
+    threshold mode fills far fewer).
+
+    Returns (det, scores, valid, injected_mask, injected_person, injected_class),
+    all batched.
+    """
+    b, j, h, w = sm.shape
+    k = cfg.nodes_per_type
+    p = joints_gt.shape[1]
+    clamp_max = max(h, w) - 1
+
+    gt = joints_gt.reshape(b, p * j, 3)
+    gt_valid = gt[:, :, 2] > 0
+    gt_type = jnp.tile(jnp.arange(j, dtype=jnp.int32), p)[None].repeat(b, axis=0)
+    gt_person = jnp.repeat(jnp.arange(p, dtype=jnp.int32), j)[None].repeat(b, axis=0)
+
+    xy = jnp.round(gt[:, :, :2]).astype(jnp.int32)
+    if rng is not None:
+        jitter = jax.random.randint(rng, (b, p * j, 2), -2, 3)
+        xy = xy + jitter
+    xy = jnp.clip(xy, 0, clamp_max)
+
+    def per_image(det_i, scores_i, valid_i, sm_i, xy_i, gt_valid_i, gt_type_i, gt_person_i):
+        # rank of each GT entry within its type (among valid GT entries)
+        order = jnp.argsort(jnp.where(gt_valid_i, gt_type_i, j), stable=True)
+        t_sorted = jnp.where(gt_valid_i, gt_type_i, j)[order]
+        counts = jnp.zeros((j + 1,), jnp.int32).at[t_sorted].add(1, mode="drop")
+        starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+        rank_sorted = jnp.arange(p * j, dtype=jnp.int32) - starts[jnp.clip(t_sorted, 0, j)]
+
+        # free slots per type block, in slot order
+        vb = valid_i.reshape(j, k)
+        free_order = jnp.argsort(vb, axis=1, stable=True)  # free (False) first
+        n_free = (~vb).sum(axis=1)
+
+        # destination slot for each sorted GT entry
+        t_safe = jnp.clip(t_sorted, 0, j - 1)
+        slot_in_block = free_order[t_safe, jnp.clip(rank_sorted, 0, k - 1)]
+        ok = (t_sorted < j) & (rank_sorted < n_free[t_safe]) & (rank_sorted < k)
+        dest = jnp.where(ok, t_safe * k + slot_in_block, j * k)
+
+        xy_sorted = xy_i[order]
+        person_sorted = gt_person_i[order]
+        npix = j * k
+        det_new = det_i.at[dest, 0].set(jnp.where(ok, xy_sorted[:, 0], 0), mode="drop")
+        det_new = det_new.at[dest, 1].set(jnp.where(ok, xy_sorted[:, 1], 0), mode="drop")
+        inj = jnp.zeros((npix,), bool).at[dest].set(ok, mode="drop")
+        inj_person = jnp.full((npix,), -1, jnp.int32).at[dest].set(
+            jnp.where(ok, person_sorted, -1), mode="drop"
+        )
+        valid_new = valid_i | inj
+        # injected scores come from the scoremap at the injected position
+        # (ConstructGraph.py:97)
+        sc_at = sm_i[det_new[:, 2], det_new[:, 1], det_new[:, 0]]
+        scores_new = jnp.where(inj, sc_at, scores_i)
+        inj_class = det_new[:, 2].astype(jnp.int32)
+        return det_new, scores_new, valid_new, inj, inj_person, inj_class
+
+    return jax.vmap(per_image)(det, scores, valid, sm, xy, gt_valid, gt_type, gt_person)

@@ -99,12 +99,17 @@ class PoseEstimationBaseline(nn.Module):
 
     def __call__(self, imgs, keypoints_gt=None, masks=None, factors=None,
                  heatmaps=None, train: bool = False, backbone_train: bool | None = None,
-                 with_logits: bool = True):
+                 with_logits: bool = True, gc_rng=None):
         """reference forward: PoseEstimation.py:71-111."""
         bb_out, scoremaps, features, tags = self.backbone_forward(
             imgs, train=train, backbone_train=backbone_train
         )
         scoremaps_det = jax.lax.stop_gradient(scoremaps)
+
+        if gc_rng is None and train and (
+            self.gc.edge_label_method == 7 or self.gc.node_dropout > 0
+        ):
+            gc_rng = self.make_rng("gc") if self.has_rng("gc") else None
 
         gb = construct_graph_batch(
             self.gc,
@@ -115,6 +120,7 @@ class PoseEstimationBaseline(nn.Module):
             factors=factors,
             masks=masks,
             testing=not train,
+            rng=gc_rng,
         )
         preds = self.mpn_forward(gb, train=train, with_logits=with_logits)
 

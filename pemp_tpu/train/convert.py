@@ -163,3 +163,25 @@ def load_torch_state_dict(path, scheme="plain"):
         sd = sd["model_state_dict"]
     rename = RENAME_SCHEMES[scheme]
     return {rename(k): v.numpy() for k, v in sd.items()}
+
+
+def convert_mmpose_state_dict(sd, spec):
+    """mmpose BottomUp-HigherHRNet checkpoint -> flax params.
+
+    The mmpose architecture (reference: src/Models/HigherHRNet/mmpose/
+    backbone.py + keypoint_head.py) computes the same graph as the
+    HigherHRNet implementation with different module names: the backbone
+    lives under ``backbone.*`` and the heads under ``keypoint_head.
+    {final_layers,deconv_layers}.*``. Strip the prefixes and reuse the main
+    converter. (reference load path: PoseEstimation.py:31-32 — the mmpose
+    checkpoint's state_dict is used as-is.)
+    """
+    renamed = {}
+    for k, v in sd.items():
+        if k.startswith("backbone."):
+            renamed[k[len("backbone."):]] = v
+        elif k.startswith("keypoint_head."):
+            renamed[k[len("keypoint_head."):]] = v
+        else:
+            renamed[k] = v
+    return convert_hrnet_state_dict(renamed, spec)
