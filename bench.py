@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -85,8 +86,8 @@ def main():
     import jax
 
     platform = jax.devices()[0].platform
-    batch_size = 8
-    warmup, iters = 2, 10
+    batch_size = int(os.environ.get("BENCH_BATCH", 8))
+    warmup, iters = 2, int(os.environ.get("BENCH_ITERS", 10))
     if platform == "cpu":
         batch_size, warmup, iters = 1, 1, 2
 

@@ -6,6 +6,7 @@ from pemp_tpu.decode.assembly import (
     persons_from_clusters,
     refine_ae,
 )
+from pemp_tpu.decode.greedy import greedy_person_construction
 from pemp_tpu.decode.format import (
     gen_ann_format,
     gen_ann_format_correct,
@@ -20,6 +21,7 @@ __all__ = [
     "fill_mean",
     "persons_from_clusters",
     "refine_ae",
+    "greedy_person_construction",
     "gen_ann_format",
     "gen_ann_format_correct",
     "gen_ann_format_mean",

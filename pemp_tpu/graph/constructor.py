@@ -141,6 +141,12 @@ def _build_edges(cfg: GCConfig, det, valid, scores, node_feats):
         from pemp_tpu.ops.knn import score_based_edges
 
         return score_based_edges(pos, valid, scores, 75)
+    if cfg.graph_type == "score_based_per_type":
+        from pemp_tpu.ops.knn import score_based_per_type_edges
+
+        return score_based_per_type_edges(
+            pos, valid, det[:, 2], scores, cfg.num_joints, 2, cfg.nodes_per_type
+        )
     raise NotImplementedError(cfg.graph_type)
 
 

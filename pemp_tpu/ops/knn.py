@@ -224,3 +224,30 @@ def knn_edges_target_major(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
     edge_valid = valid_b_flat.reshape(n, c).at[:, :k].set(valid_a).reshape(-1)
     edge_dst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), c)
     return jnp.stack([edge_src, edge_dst]), edge_valid
+
+
+def score_based_per_type_edges(pos: jnp.ndarray, valid: jnp.ndarray,
+                               types: jnp.ndarray, scores: jnp.ndarray,
+                               num_types: int, k_per_type: int,
+                               nodes_per_type: int, score_threshold: float = 0.1):
+    """Root-joint graph with top-k roots per type plus high-score rows.
+
+    reference: ConstructGraph.py:424-449 (score_based_k_per_type, k=2,
+    threshold 0.1). Emitted as a fully-connected list with row selection via
+    the validity mask: a directed edge (i -> j) is valid when i or j is a
+    selected root (to_undirected union), matching the reference's
+    dense_to_sparse(adj | adjᵀ) semantics.
+    """
+    n = pos.shape[0]
+    s = jnp.where(valid, scores, -jnp.inf).reshape(num_types, nodes_per_type)
+    _, top_idx = lax.top_k(s, k_per_type)  # (T, k)
+    base = (jnp.arange(num_types, dtype=jnp.int32) * nodes_per_type)[:, None]
+    roots = (top_idx.astype(jnp.int32) + base).reshape(-1)
+    is_root = jnp.zeros((n,), bool).at[roots].set(True)
+    is_root = is_root | (jnp.where(valid, scores, 0.0) > score_threshold)
+    is_root = is_root & valid
+
+    edge_index, edge_valid = fully_connected_edges(valid)
+    src, dst = edge_index[0], edge_index[1]
+    edge_valid = edge_valid & (is_root[src] | is_root[dst])
+    return edge_index, edge_valid

@@ -102,7 +102,7 @@ def main():
         print("WARNING: no checkpoint found, evaluating random weights")
 
     cc_method = config.MODEL.GC.CC_METHOD
-    on_device_decode = cc_method in ("threshold", "greedy")
+    on_device_decode = cc_method == "threshold"
     pipe = TTAPipeline(model, variables, config, with_decode=on_device_decode)
 
     anns, eval_ids = [], []
@@ -122,6 +122,23 @@ def main():
         t0 = time.perf_counter()
         if on_device_decode:
             persons, person_valid = out["persons"], out["person_valid"]
+        elif cc_method == "greedy":
+            # host greedy person construction (reference: Utils.py:517-626)
+            from pemp_tpu.decode import greedy_person_construction
+
+            nodes = np.asarray(out["nodes"])
+            nvalid = np.asarray(out["node_valid"])
+            nscore = np.asarray(out["node_scores"]) * nvalid
+            ei = np.asarray(out["edge_index"])
+            ev = np.asarray(out["edge_valid"])
+            ep = np.asarray(out["edge_pred"]) * ev
+            cp = np.asarray(out["class_prob"]) if out["class_prob"] is not None else None
+            persons, _ = greedy_person_construction(
+                nodes, nscore, ep, cp, ei, num_joints
+            )
+            person_valid = np.ones(len(persons), bool)
+            if len(persons) == 0:
+                persons = np.zeros((0, num_joints, 3))
         else:
             # host correlation clustering (GAEC/KL/MUT) on the MPN edge scores
             from pemp_tpu.decode.assembly import decode_poses
