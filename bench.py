@@ -39,6 +39,8 @@ def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bf
     cfg.defrost()
     cfg.DATASET.INPUT_SIZE = input_size
     cfg.DATASET.OUTPUT_SIZE = [input_size // 4, input_size // 2]
+    if os.environ.get("BENCH_CAP_IN"):
+        cfg.TPU.KNN_CAP_IN = int(os.environ["BENCH_CAP_IN"])
     cfg.freeze()
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
@@ -73,7 +75,9 @@ def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bf
             return decode_poses(
                 sm[i], tg[i], nodes, nscore, ei, ev, ep, nvalid,
                 node_threshold=node_threshold, num_joints=num_joints,
-                class_probs=cp, with_refine=True, with_adjust=True,
+                class_probs=cp,
+                with_refine=os.environ.get("BENCH_NO_REFINE") != "1",
+                with_adjust=True,
             )
 
         persons, valid = jax.vmap(decode_one)(jnp.arange(b))
@@ -108,12 +112,21 @@ def main():
     rng = np.random.RandomState(0)
     import jax.numpy as jnp
 
+    def fetch(out):
+        # force completion: on remote-tunnel platforms block_until_ready can
+        # return before execution finishes; a host fetch of the final result
+        # drains the (in-order) device queue
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf).ravel()[:1]
+
     data = jnp.asarray(rng.rand(*imgs.shape), jnp.float32)
     for _ in range(warmup):
-        jax.block_until_ready(fn(data))
+        fetch(fn(data))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        jax.block_until_ready(fn(data))
+        out = fn(data)
+    fetch(out)
     dt = time.perf_counter() - t0
 
     ips = batch_size * iters / dt

@@ -82,6 +82,7 @@ class CocoKeypoints:
 
         if mini and img_ids is None:
             n = 500 if (year == 17 and mode == "val") else 4000
+            n = min(n, len(self.img_ids))
             self.img_ids = rng.choice(self.img_ids, n, replace=False)
 
     def __len__(self):

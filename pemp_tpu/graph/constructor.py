@@ -67,7 +67,7 @@ class GCConfig:
     def from_config(cls, config) -> "GCConfig":
         gc = config.MODEL.GC
         th = gc.DETECT_THRESHOLD if gc.DETECT_THRESHOLD <= 1.5 else None
-        cap_in = config.TPU.KNN_CAP_IN if "KNN_CAP_IN" in config.TPU else -1
+        cap_in = config.TPU.KNN_CAP_IN if "KNN_CAP_IN" in config.TPU else 32
         return cls(
             num_joints=config.DATASET.NUM_JOINTS,
             nodes_per_type=config.TPU.NODES_PER_TYPE,

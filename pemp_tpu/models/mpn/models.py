@@ -401,7 +401,7 @@ _MODELS = {
     "NodeClassificationMPNWithRef": NodeClassificationMPN,
     "NodeClassificationMPNFPConstrained": NodeClassificationMPN,
     "NodeClassificationMPNTypeConstrained": NodeClassificationMPN,
-    "NodeClassificationMPNGroupBased": NodeClassificationMPN,
+    "NodeClassificationMPNGroupBased": NodeClassificationMPN,  # overridden below
     "JointTypeClassification": JointTypeClassification,
     "NodeClassificationMPNTag": NodeClassificationMPNTag,
     "MPNTag": NodeClassificationMPNTag,
@@ -425,3 +425,85 @@ def get_mpn_model(mpn_config, dtype=jnp.float32):
     if name not in _MODELS:
         raise NotImplementedError(name)
     return _MODELS[name](cfg, dtype=dtype)
+
+
+class NodeClassificationMPNGroupBased(nn.Module):
+    """Body-part sub-graph message passing: each step runs the shared layer
+    on within-body-part edges, then on cross-part edges.
+
+    reference: NodeClassificationMPNGroupBased.py:62-116 + get_sub_graphs
+    (:105-116). Padded formulation: both passes run over the full edge list
+    with complementary validity masks; edge features merge per-pass like the
+    reference's out_edge_features scatter.
+    """
+
+    mpn_cfg: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
+                 edge_valid=None, joint_tags=None, train: bool = False):
+        c = self.mpn_cfg
+        num_types = num_summary_types(c["NODE_TYPE_SUMMARY"], c["NUM_JOINTS"])
+        types = sum_node_types(c["NODE_TYPE_SUMMARY"], node_types)
+        body_part = sum_node_types("per_body_part", node_types)
+
+        if c["LATE_FUSION_POS"]:
+            edge_features = LateFusionEdgeMLP(
+                tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]), c["EDGE_EMB"]["BN"],
+                c["EDGE_EMB"].get("END_WITH_RELU", False), dtype=self.dtype,
+                name="edge_embedding",
+            )(edge_attr, edge_valid, train)
+        else:
+            edge_features = MLP(
+                tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]), bn=c["EDGE_EMB"]["BN"],
+                end_with_relu=c["EDGE_EMB"].get("END_WITH_RELU", False),
+                dtype=self.dtype, name="edge_embedding",
+            )(edge_attr, edge_valid, train)
+        node_features = MLP(
+            tuple(c["NODE_EMB"]["OUTPUT_SIZES"]), bn=c["NODE_EMB"]["BN"],
+            end_with_relu=c["NODE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="node_embedding",
+        )(x, node_valid, train)
+
+        src, dst = edge_index[0], edge_index[1]
+        same_part = body_part[src] == body_part[dst]
+        ev = edge_valid if edge_valid is not None else jnp.ones(src.shape[0], bool)
+        mask_within = ev & same_part
+        mask_cross = ev & ~same_part
+
+        from pemp_tpu.models.mpn.layers import TypeAwareMPNLayer as _Layer
+
+        layer = _Layer(
+            c["NODE_FEATURE_DIM"], c["EDGE_FEATURE_DIM"], c["EDGE_FEATURE_HIDDEN"],
+            aggr=c["AGGR"], edge_mlp=c["EDGE_MLP"], num_types=num_types,
+            aggr_sub=c["AGGR_SUB"], update_type=c["UPDATE_TYPE"],
+            blocked_c=c.get("_BLOCKED_C", 0), dtype=self.dtype, name="layer",
+        )
+
+        nf0, ef0 = node_features, edge_features
+        nf, ef = node_features, edge_features
+        for _ in range(c["STEPS"]):
+            nf_in = jnp.concatenate([nf0, nf], -1) if c["SKIP"] else nf
+            ef_in = jnp.concatenate([ef0, ef], -1) if c["SKIP"] else ef
+            nf, e1 = layer(nf_in, ef_in, edge_index, types, mask_within)
+            nf_in2 = jnp.concatenate([nf0, nf], -1) if c["SKIP"] else nf
+            nf, e2 = layer(nf_in2, ef_in, edge_index, types, mask_cross)
+            ef = jnp.where(mask_within[:, None], e1, jnp.where(mask_cross[:, None], e2, 0.0))
+
+        edge_head = MLP(tuple(c["EDGE_CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="edge_classification")
+        node_head = MLP(tuple(c["NODE_CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="node_classification")
+        class_head = MLP(tuple(c["CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="classification")
+        preds_edge = [edge_head(ef, edge_valid, train)[..., 0]]
+
+        node_steps = c.get("NODE_STEPS", 0)
+        for _ in range(node_steps):
+            nf_in = jnp.concatenate([nf0, nf], -1) if c["SKIP"] else nf
+            ef_in = jnp.concatenate([ef0, ef], -1) if c["SKIP"] else ef
+            nf, ef = layer(nf_in, ef_in, edge_index, types, ev)
+        preds_node = [node_head(nf, node_valid, train)[..., 0]]
+        preds_class = [class_head(nf, node_valid, train)]
+        return {"edge": preds_edge, "node": preds_node, "class": preds_class, "tag": [None]}
+
+
+_MODELS["NodeClassificationMPNGroupBased"] = NodeClassificationMPNGroupBased

@@ -52,6 +52,8 @@ def make_synthetic_loader(config, steps: int, seed: int = 0):
 
 
 def make_coco_loaders(config):
+    """Train + per-epoch validation loaders (reference: train.py:20-102
+    create_train_validation_split)."""
     from pemp_tpu.data import (
         CocoKeypoints,
         CrowdPoseKeypoints,
@@ -68,6 +70,7 @@ def make_coco_loaders(config):
     jg = [JointsGenerator(mp, nj, s, True) for s in out_sizes]
     tf = transforms_hr_train(config)
     mini = "mini" in config.TRAIN.SPLIT
+    val_loader = None
     if config.DATASET.DATASET == "crowd_pose":
         train_set = CrowdPoseKeypoints(
             config.DATASET.ROOT, mini=mini, mode="trainval",
@@ -79,10 +82,22 @@ def make_coco_loaders(config):
             transforms=tf, heatmap_generator=hm, joint_generator=jg,
             num_joints=nj,
         )
+        try:
+            val_set = CocoKeypoints(
+                config.DATASET.ROOT, mini=True, mode="val",
+                transforms=tf, heatmap_generator=hm, joint_generator=jg,
+                num_joints=nj,
+            )
+            val_loader = DataLoader(
+                val_set, config.TRAIN.BATCH_SIZE, shuffle=False,
+                num_workers=config.WORKERS,
+            )
+        except FileNotFoundError:
+            val_loader = None
     loader = DataLoader(
         train_set, config.TRAIN.BATCH_SIZE, shuffle=True, num_workers=config.WORKERS
     )
-    return loader
+    return loader, val_loader
 
 
 def main():
@@ -153,12 +168,17 @@ def main():
     state = replicate(state, mesh)
 
     print("Load dataset")
+    val_loader = None
     if args.synthetic:
         loader_fn = make_synthetic_loader(config, steps_per_epoch)
     else:
-        loader = make_coco_loaders(config)
+        loader, val_loader = make_coco_loaders(config)
         steps_per_epoch = len(loader)
         loader_fn = lambda: iter(loader)  # noqa: E731
+
+    from pemp_tpu.train import make_eval_step
+
+    eval_step = jax.jit(make_eval_step(model, loss_factory, config))
 
     end_epoch = args.epochs if args.epochs is not None else config.TRAIN.END_EPOCH
     print("#####Begin Training#####")
@@ -180,6 +200,18 @@ def main():
         save_checkpoint(ckpt_path, jax.device_get(state), epoch)
         if epoch + 1 in list(config.TRAIN.LR_STEP):
             save_checkpoint(f"{ckpt_path}.epoch{epoch}", jax.device_get(state), epoch)
+        # per-epoch no-grad validation with the same loss plumbing
+        # (reference: train.py:351-495)
+        if val_loader is not None:
+            host_state = jax.device_get(state)
+            val_losses = []
+            for vb in val_loader:
+                vb = jax.tree_util.tree_map(jnp.asarray, vb)
+                vloss, vlog, _ = eval_step(host_state.params, host_state.batch_stats, vb)
+                val_losses.append(float(vloss))
+            if val_losses:
+                logger.log_loss(float(np.mean(val_losses)), "Loss/valid", epoch)
+                print(f"epoch {epoch} val loss: {np.mean(val_losses):.5f}")
         print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s -> {ckpt_path}")
     logger.close()
 
