@@ -62,6 +62,7 @@ class GCConfig:
     mask_crowds: bool = True
     matcher: str = "auction"  # auction | greedy
     node_dropout: float = 0.0
+    weight_class_loss: bool = False
 
     @classmethod
     def from_config(cls, config) -> "GCConfig":
@@ -91,6 +92,7 @@ class GCConfig:
             mask_crowds=gc.MASK_CROWDS,
             matcher="greedy" if config.TPU.MATCHER == "greedy" else "auction",
             node_dropout=gc.NODE_DROPOUT,
+            weight_class_loss=gc.WEIGHT_CLASS_LOSS,
         )
 
 
@@ -458,6 +460,7 @@ def construct_graph_batch(
     masks=None,      # (B, H, W) crowd masks
     testing: bool = False,
     rng=None,        # PRNGKey for method-7 GT jitter / node dropout
+    gt_heatmaps=None,  # (B, h, w, J) GT heatmaps for WEIGHT_CLASS_LOSS
 ) -> GraphBatch:
     """Batched graph construction; returns the flattened disjoint batch graph."""
     b, h, w, j = scoremaps.shape
@@ -549,6 +552,18 @@ def construct_graph_batch(
         gb.label_mask = flat(per["label_mask"])
         gb.label_mask_node = flat(per["label_mask_node"])
         gb.class_mask = flat(per["class_mask"])
+        if cfg.weight_class_loss and gt_heatmaps is not None:
+            # weight the class loss by the GT heatmap value at the detection
+            # (min 0.1) — reference: ConstructGraph.py:171-176
+            bi = gb.batch_index
+            d = gb.joint_det
+            cls = jnp.clip(gb.node_classes, 0, cfg.num_joints - 1)
+            hh, ww = gt_heatmaps.shape[1:3]
+            yy = jnp.clip(d[:, 1], 0, hh - 1)
+            xx = jnp.clip(d[:, 0], 0, ww - 1)
+            weights = gt_heatmaps[bi, yy, xx, cls]
+            weights = jnp.maximum(weights, 0.1)
+            gb.class_mask = gb.class_mask * weights
         if cfg.node_dropout > 0 and not testing and rng is not None:
             # drop label-positive nodes with prob p; edges touching a dropped
             # node become invalid (reference: ConstructGraph.py:152-168,

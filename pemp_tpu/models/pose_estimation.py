@@ -121,6 +121,7 @@ class PoseEstimationBaseline(nn.Module):
             masks=masks,
             testing=not train,
             rng=gc_rng,
+            gt_heatmaps=heatmaps[-1] if (heatmaps is not None and self.gc.weight_class_loss) else None,
         )
         preds = self.mpn_forward(gb, train=train, with_logits=with_logits)
 
