@@ -41,6 +41,10 @@ def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bf
     cfg.DATASET.OUTPUT_SIZE = [input_size // 4, input_size // 2]
     if os.environ.get("BENCH_CAP_IN"):
         cfg.TPU.KNN_CAP_IN = int(os.environ["BENCH_CAP_IN"])
+    if os.environ.get("BENCH_STEPS"):
+        cfg.MODEL.MPN.STEPS = int(os.environ["BENCH_STEPS"])
+    if os.environ.get("BENCH_K"):
+        cfg.TPU.NODES_PER_TYPE = int(os.environ["BENCH_K"])
     cfg.freeze()
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
@@ -100,7 +104,8 @@ def main():
         try:
             fn, imgs = build_pipeline(bs)
             out = fn(imgs)
-            jax.block_until_ready(out)
+            # a host fetch surfaces OOM/compile failures reliably
+            np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
             batch_size = bs
             break
         except Exception as e:  # noqa: BLE001 — fall back to smaller batch

@@ -185,3 +185,123 @@ def convert_mmpose_state_dict(sd, spec):
         else:
             renamed[k] = v
     return convert_hrnet_state_dict(renamed, spec)
+
+
+def _convert_mlp(sd, prefix, num_layers, bn_flags):
+    """reference _make_mlp Sequential -> our MLP module names (lin{i}/bn{i}).
+
+    ``bn_flags``: list of bools — whether a BN follows Linear i (mirrors
+    _make_mlp construction, layers.py:8-29). Returns (params, stats) subtrees.
+    """
+    params: dict = {}
+    stats: dict = {}
+    seq = 0
+    for i in range(num_layers):
+        w = sd[f"{prefix}.{seq}.weight"]
+        params[f"lin{i}"] = {"kernel": _linear(w)}
+        if f"{prefix}.{seq}.bias" in sd:
+            params[f"lin{i}"]["bias"] = np.asarray(sd[f"{prefix}.{seq}.bias"])
+        seq += 1
+        if i < num_layers - 1 or (bn_flags and len(bn_flags) > i and bn_flags[i] == "end"):
+            seq += 1  # ReLU
+        if bn_flags and i < len(bn_flags) and bn_flags[i] is True:
+            params[f"bn{i}"] = {
+                "scale": np.asarray(sd[f"{prefix}.{seq}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.{seq}.bias"]),
+            }
+            stats[f"bn{i}"] = {
+                "mean": np.asarray(sd[f"{prefix}.{seq}.running_mean"]),
+                "var": np.asarray(sd[f"{prefix}.{seq}.running_var"]),
+            }
+            seq += 1
+    return params, stats
+
+
+def convert_flagship_mpn_state_dict(sd, mpn_cfg):
+    """reference NodeClassificationMPNSimple weights -> our NodeClassificationMPN.
+
+    Covers the flagship topology (TypeAwareMPNLayer, agnostic edge MLP,
+    node_edge_attn). Reference module names from
+    NodeClassificationMPNSimple.py:23-60 / layers.py:157-274.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def emb(name, dims, bn):
+        n = len(dims)
+        bn_flags = [bn] * (n - 1) + [False]
+        p, s = _convert_mlp(sd, name, n, bn_flags)
+        return p, s
+
+    p, s = emb("node_embedding", mpn_cfg["NODE_EMB"]["OUTPUT_SIZES"], mpn_cfg["NODE_EMB"]["BN"])
+    params["node_embedding"], stats["node_embedding"] = p, s
+    p, s = emb("edge_embedding", mpn_cfg["EDGE_EMB"]["OUTPUT_SIZES"], mpn_cfg["EDGE_EMB"]["BN"])
+    params["edge_embedding"], stats["edge_embedding"] = p, s
+    for head, key in (
+        ("edge_classification", "EDGE_CLASS"),
+        ("node_classification", "NODE_CLASS"),
+        ("classification", "CLASS"),
+    ):
+        p, s = emb(head, mpn_cfg[key]["OUTPUT_SIZES"], mpn_cfg["BN"])
+        params[head], stats[head] = p, s
+
+    layer: dict = {}
+    # agnostic edge MLP: Sequential(Linear, ReLU, Linear, ReLU)
+    layer["mlp_edge_0"] = {
+        "kernel": _linear(sd["mpn_node_cls.mlp_edge.0.weight"]),
+        "bias": np.asarray(sd["mpn_node_cls.mlp_edge.0.bias"]),
+    }
+    layer["mlp_edge_1"] = {
+        "kernel": _linear(sd["mpn_node_cls.mlp_edge.2.weight"]),
+        "bias": np.asarray(sd["mpn_node_cls.mlp_edge.2.bias"]),
+    }
+    # TypeAwareNodeUpdate: 17 x Sequential(Linear, ReLU) -> stacked (T, in, out)
+    t = mpn_cfg["NUM_JOINTS"]
+    ws = [_linear(sd[f"mpn_node_cls.mlp_node.mlp.{i}.0.weight"]) for i in range(t)]
+    bs = [np.asarray(sd[f"mpn_node_cls.mlp_node.mlp.{i}.0.bias"]) for i in range(t)]
+    layer["mlp_node"] = {"kernel": np.stack(ws), "bias": np.stack(bs)}
+    # attention net: Sequential(Linear)
+    if "mpn_node_cls.attn_net.0.weight" in sd:
+        layer["attn_net"] = {
+            "kernel": _linear(sd["mpn_node_cls.attn_net.0.weight"]),
+            "bias": np.asarray(sd["mpn_node_cls.attn_net.0.bias"]),
+        }
+    # update MLP: Sequential(Linear, ReLU)
+    layer["update_mlp"] = {
+        "kernel": _linear(sd["mpn_node_cls.update_mlp.0.weight"]),
+        "bias": np.asarray(sd["mpn_node_cls.update_mlp.0.bias"]),
+    }
+    params["mpn"] = {"layer": layer}
+    return params, stats
+
+
+def convert_composite_state_dict(sd, config):
+    """Full trained reference checkpoint (model_state_dict) -> our composite.
+
+    reference structure: backbone.* + feature_gather.* + mpn.*
+    (PoseEstimation.py:53-69).
+    """
+    from pemp_tpu.models.hrnet import HRNetSpec
+    from pemp_tpu.models.mpn.models import mpn_cfg_from_config
+
+    bb = {k[len("backbone."):]: v for k, v in sd.items() if k.startswith("backbone.")}
+    mpn = {k[len("mpn."):]: v for k, v in sd.items() if k.startswith("mpn.")}
+
+    spec = HRNetSpec.from_config(config)
+    if config.MODEL.KP == "mmpose_hrnet":
+        bb_params, bb_stats = convert_mmpose_state_dict(bb, spec)
+    else:
+        bb_params, bb_stats = convert_hrnet_state_dict(bb, spec)
+    mpn_params, mpn_stats = convert_flagship_mpn_state_dict(
+        mpn, mpn_cfg_from_config(config.MODEL.MPN)
+    )
+    params = {
+        "backbone": bb_params,
+        "mpn": mpn_params,
+        "feature_gather": {
+            "kernel": _conv(sd["feature_gather.weight"]),
+            "bias": np.asarray(sd["feature_gather.bias"]),
+        },
+    }
+    stats = {"backbone": bb_stats, "mpn": mpn_stats}
+    return params, stats
