@@ -109,6 +109,7 @@ class _StepBody(nn.Module):
                 aggr_sub=c["AGGR_SUB"],
                 update_type=c["UPDATE_TYPE"],
                 blocked_c=blocked_c,
+                use_fused_kernel=c.get("_USE_PALLAS", False),
                 dtype=self.dtype,
                 name="layer",
             )(nf, ef, edge_index, node_types, edge_valid)
@@ -183,8 +184,12 @@ class NodeClassificationMPN(nn.Module):
         node_steps = c.get("NODE_STEPS", 0)
         aux = c["AUX_LOSS_STEPS"]
 
+        # the fused Pallas kernel has no VJP: inference only
+        c_run = dict(c)
+        c_run["_USE_PALLAS"] = c.get("_USE_PALLAS", False) and not train
+
         node_features, edge_features, node_stack, edge_stack = _run_steps(
-            self, c, num_types, c["SKIP"], steps, node_features, edge_features,
+            self, c_run, num_types, c["SKIP"], steps, node_features, edge_features,
             edge_index, types, edge_valid, self.dtype, "mpn",
         )
 
@@ -201,7 +206,7 @@ class NodeClassificationMPN(nn.Module):
 
         if node_steps:
             node_features, edge_features, _, _ = _run_steps(
-                self, c, num_types, c["SKIP"], node_steps, node_features, edge_features,
+                self, c_run, num_types, c["SKIP"], node_steps, node_features, edge_features,
                 edge_index, types, edge_valid, self.dtype, "mpn_node",
             )
         preds_node.append(node_head(node_features, node_valid, train)[..., 0])

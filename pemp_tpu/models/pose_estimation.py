@@ -189,6 +189,12 @@ def build_pose_model(config, dtype=jnp.float32) -> PoseEstimationBaseline:
         n_nodes = gc.num_joints * gc.nodes_per_type
         k_eff = min(gc.knn_k, max(n_nodes - 1, 1))
         mpn_cfg["_BLOCKED_C"] = k_eff + gc.knn_cap_in
+        import jax as _jax
+
+        use_pallas = True
+        if "USE_PALLAS" in config.TPU:
+            use_pallas = bool(config.TPU.USE_PALLAS)
+        mpn_cfg["_USE_PALLAS"] = use_pallas and _jax.default_backend() == "tpu"
     return PoseEstimationBaseline(
         backbone_name=backbone_name,
         hrnet_spec=hrnet_spec,

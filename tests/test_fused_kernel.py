@@ -1,0 +1,81 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pemp_tpu.models.mpn.layers import fused_tile_ok
+from pemp_tpu.ops.pallas.fused_typed_message import fused_typed_message_aggregate
+from pemp_tpu.ops.segment import blocked_per_type_attention_aggregate
+
+
+def jnp_reference(ef, a, types, valid, we, wa, n, t):
+    d = a.shape[-1]
+    c = ef.shape[0] // n
+    b = (ef @ we).reshape(n * c, t, d)
+    b_sel = jnp.take_along_axis(b, types[:, None, None], axis=1)[:, 0]
+    node_of = jnp.repeat(jnp.arange(n), c)
+    a_sel = a.reshape(n * t, d)[node_of * t + types]
+    m = jax.nn.relu(a_sel + b_sel)
+    attn = (ef @ wa)[:, 0]
+    return blocked_per_type_attention_aggregate(m, attn, types, n, t, valid)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_fused_kernel_interpret_parity(seed):
+    rng = np.random.RandomState(seed)
+    n, c, t, d, de = 8, 10, 4, 8, 6
+    ef = jnp.asarray(rng.randn(n * c, de).astype(np.float32))
+    a = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+    types = jnp.asarray(rng.randint(0, t, n * c), jnp.int32)
+    valid = jnp.asarray(rng.rand(n * c) > 0.3)
+    we = jnp.asarray(rng.randn(de, t * d).astype(np.float32))
+    wa = jnp.asarray(rng.randn(de, 1).astype(np.float32))
+    want = np.asarray(jnp_reference(ef, a, types, valid, we, wa, n, t))
+    got = np.asarray(
+        fused_typed_message_aggregate(ef, a, types, valid, we, wa, n, t, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_tile_ok():
+    # flagship shapes: N=5440, C=82, T=17 -> nb=8 works
+    assert fused_tile_ok(5440, 82, 17)
+    # tiny test config: N=68, C=10, T=17 -> no tile (68 % 8 != 0, 17 odd)
+    assert not fused_tile_ok(68, 10, 17)
+
+
+def test_fused_flag_is_inference_only():
+    """Training (grad) still works with _USE_PALLAS set: the flag is dropped
+    at train time so autodiff never sees the kernel."""
+    from pemp_tpu.config import get_config, update_config
+    from pemp_tpu.models.mpn.models import NodeClassificationMPN, mpn_cfg_from_config
+    from pemp_tpu.ops.knn import knn_edges_target_major
+
+    cfg = get_config()
+    cfg = update_config(cfg, "configs/hybrid_class_agnostic_end2end/model_58_4.yaml")
+    base = mpn_cfg_from_config(cfg.MODEL.MPN)
+    base["STEPS"] = 2
+    rng = np.random.RandomState(0)
+    n, k = 32, 4
+    c = 2 * k
+    pos = jnp.asarray(rng.rand(n, 2) * 50, jnp.float32)
+    valid = jnp.ones(n, bool)
+    ei, ev = knn_edges_target_major(pos, valid, k, k)
+    x = jnp.asarray(rng.randn(n, 128), jnp.float32)
+    ea = jnp.asarray(rng.randn(n * c, 19), jnp.float32)
+    types = jnp.asarray(rng.randint(0, 17, n), jnp.int32)
+    model = NodeClassificationMPN({**base, "_BLOCKED_C": c, "_USE_PALLAS": True})
+    args = (x, ea, ei, types, valid, ev)
+    variables = model.init(jax.random.PRNGKey(0), *args, train=True)
+
+    def loss(params):
+        out = model.apply(
+            {"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+            *args, train=True, mutable=["batch_stats"],
+        )[0]
+        return jnp.sum(out["edge"][0] ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(
+        bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g)
+    )
