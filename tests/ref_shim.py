@@ -1,0 +1,187 @@
+"""Shims that let the *actual* reference MPN code run on plain CPU torch.
+
+The reference (`/root/reference/src/Models/MessagePassingNetwork/`) depends on
+torch_geometric / torch_scatter / a spurious Cython import, none of which are
+installed. These are thin functional stand-ins covering exactly the API
+surface the reference files use, so golden tests compare our JAX models
+against the reference's real code instead of a hand-written twin.
+
+Covered surface (reference: layers.py:1-5, utils.py:1-3):
+  * torch_scatter.scatter(src, index, dim=0, reduce=..., dim_size=...)
+  * torch_scatter.scatter_max / scatter_softmax
+  * torch_geometric.nn.MessagePassing (init(aggr), propagate/message/
+    aggregate/update with _i/_j suffix resolution)
+  * Cython.Includes (dead import in utils.py:3)
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import inspect
+import sys
+import types
+
+import torch
+
+REF_MPN_DIR = "/root/reference/src/Models/MessagePassingNetwork"
+
+
+# ---------------------------------------------------------------- scatter ops
+def scatter(src, index, dim=0, out=None, dim_size=None, reduce="sum"):
+    assert dim in (0, -src.dim()) or dim == 0, "shim supports dim=0"
+    if dim_size is None:
+        dim_size = int(index.max()) + 1 if index.numel() else 0
+    shape = (dim_size,) + tuple(src.shape[1:])
+    if reduce in ("sum", "add"):
+        o = torch.zeros(shape, dtype=src.dtype)
+        o.index_add_(0, index, src)
+    elif reduce == "mean":
+        o = torch.zeros(shape, dtype=src.dtype)
+        o.index_add_(0, index, src)
+        cnt = torch.zeros(dim_size, dtype=src.dtype)
+        cnt.index_add_(0, index, torch.ones(index.shape, dtype=src.dtype))
+        cnt = cnt.clamp(min=1).view(-1, *([1] * (src.dim() - 1)))
+        o = o / cnt
+    elif reduce in ("max", "min"):
+        # torch_scatter semantics: untouched rows are 0
+        fill = float("-inf") if reduce == "max" else float("inf")
+        o = torch.full(shape, fill, dtype=src.dtype)
+        o = o.index_reduce_(0, index, src, "amax" if reduce == "max" else "amin")
+        o = torch.where(torch.isinf(o), torch.zeros_like(o), o)
+    else:
+        raise NotImplementedError(reduce)
+    if out is not None:
+        out.copy_(o)
+        return out
+    return o
+
+
+def scatter_max(src, index, dim=0, out=None, dim_size=None):
+    o = scatter(src, index, dim=dim, dim_size=dim_size, reduce="max")
+    if dim_size is None:
+        dim_size = o.shape[0]
+    arg = torch.full((dim_size,) + tuple(src.shape[1:]), dim_size, dtype=torch.long)
+    return o, arg
+
+
+def scatter_mean(src, index, dim=0, out=None, dim_size=None):
+    return scatter(src, index, dim=dim, dim_size=dim_size, reduce="mean")
+
+
+def scatter_add(src, index, dim=0, out=None, dim_size=None):
+    return scatter(src, index, dim=dim, dim_size=dim_size, reduce="add")
+
+
+def scatter_softmax(src, index, dim=0, dim_size=None):
+    if dim_size is None:
+        dim_size = int(index.max()) + 1 if index.numel() else 0
+    mx = torch.full((dim_size,) + tuple(src.shape[1:]), float("-inf"), dtype=src.dtype)
+    mx = mx.index_reduce_(0, index, src, "amax")
+    e = torch.exp(src - mx[index])
+    denom = torch.zeros_like(mx).index_add_(0, index, e)
+    return e / denom[index]
+
+
+# --------------------------------------------------- MessagePassing stand-in
+class MessagePassing(torch.nn.Module):
+    """Functional stand-in for torch_geometric.nn.MessagePassing.
+
+    Default source_to_target flow: edge_index[0]=j (source),
+    edge_index[1]=i (target); *_i gathers at targets, *_j at sources;
+    aggregation index = targets. Matches the reference's usage
+    (layers.py:66,210: "j, i = edge_index  # message is from j to i").
+    """
+
+    def __init__(self, aggr="add", **kwargs):
+        super().__init__()
+        self.aggr = aggr
+
+    def propagate(self, edge_index, size=None, **kwargs):
+        j, i = edge_index[0], edge_index[1]
+        num_nodes = (size[1] if size is not None
+                     else int(kwargs["x"].shape[0]))
+
+        _MISSING = object()
+
+        def resolve(name):
+            if name.endswith("_i") and name[:-2] in kwargs:
+                return kwargs[name[:-2]][i]
+            if name.endswith("_j") and name[:-2] in kwargs:
+                return kwargs[name[:-2]][j]
+            if name == "index":
+                return i
+            if name == "num_nodes" and name not in kwargs:
+                return num_nodes
+            return kwargs.get(name, _MISSING)
+
+        def bind(fn, skip):
+            out = {}
+            for n, p in inspect.signature(fn).parameters.items():
+                if n in skip:
+                    continue
+                v = resolve(n)
+                if v is _MISSING:
+                    if p.default is inspect.Parameter.empty:
+                        raise KeyError(f"propagate: cannot resolve '{n}'")
+                    continue
+                out[n] = v
+            return out
+
+        out = self.message(**bind(self.message, ()))
+        out = self.aggregate(out, **bind(self.aggregate, ("inputs",)))
+        return self.update(out, **bind(self.update, ("aggr_out",)))
+
+    def message(self, x_j):  # pragma: no cover - overridden
+        return x_j
+
+    def aggregate(self, inputs, index, num_nodes=None):
+        n = num_nodes if num_nodes is not None else int(index.max()) + 1
+        return scatter(inputs, index, dim=0, dim_size=n, reduce=self.aggr)
+
+    def update(self, aggr_out):
+        return aggr_out
+
+
+def install_shims():
+    """Register torch_scatter / torch_geometric / Cython stand-ins."""
+    ts = types.ModuleType("torch_scatter")
+    ts.scatter = scatter
+    ts.scatter_max = scatter_max
+    ts.scatter_mean = scatter_mean
+    ts.scatter_add = scatter_add
+    ts.scatter_softmax = scatter_softmax
+    sys.modules.setdefault("torch_scatter", ts)
+
+    tg = types.ModuleType("torch_geometric")
+    tgnn = types.ModuleType("torch_geometric.nn")
+    tgnn.MessagePassing = MessagePassing
+    tg.nn = tgnn
+    sys.modules.setdefault("torch_geometric", tg)
+    sys.modules.setdefault("torch_geometric.nn", tgnn)
+
+    cy = types.ModuleType("Cython")
+    cyinc = types.ModuleType("Cython.Includes")
+    import numpy as _np
+
+    cyinc.numpy = _np
+    cy.Includes = cyinc
+    sys.modules.setdefault("Cython", cy)
+    sys.modules.setdefault("Cython.Includes", cyinc)
+
+
+def load_ref_module(name: str, pkg: str = "ref_mpn"):
+    """Load a reference MPN module by filename (no .py) under a fake package
+    so its relative imports (.layers, .utils) resolve."""
+    install_shims()
+    if pkg not in sys.modules:
+        p = types.ModuleType(pkg)
+        p.__path__ = [REF_MPN_DIR]
+        sys.modules[pkg] = p
+    full = f"{pkg}.{name}"
+    if full in sys.modules:
+        return sys.modules[full]
+    spec = importlib.util.spec_from_file_location(full, f"{REF_MPN_DIR}/{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[full] = mod
+    spec.loader.exec_module(mod)
+    return mod
