@@ -106,6 +106,7 @@ class EvalWriter:
         self.num_joints = config.DATASET.NUM_JOINTS
         assert self.dataset in ("coco", "crowd_pose")
         path = os.path.join(self.dir, fname if fname else f"eval_{th:g}.txt")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self.f = open(path, "w")
 
     def eval_coco(self, coco, anns, ids, description, dt_file_name="dt.json"):

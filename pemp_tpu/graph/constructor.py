@@ -230,18 +230,28 @@ def _assign(cfg: GCConfig, sim):
 
 
 def _labels_from_matching(num_det, col_of_row, row_valid, gt_person, gt_type):
-    """Scatter matched GT attributes onto detections."""
+    """Scatter matched GT attributes onto detections.
+
+    Two GT rows can claim the same detection (a same-type match of one row
+    colliding with the cross-type fill-in of another — reference method 2
+    branch, ConstructGraph.py:808-829); the reference's index_put writes rows
+    in ascending order so the LARGEST row index wins (ConstructGraph.py:
+    929-940). Replicated here with a deterministic segment max.
+    """
     matched = row_valid & (col_of_row >= 0)
+    r = col_of_row.shape[0]
+    row_ids = jnp.arange(r, dtype=jnp.int32)
     tgt = jnp.where(matched, col_of_row, num_det)  # park invalid rows
-    node_labels = jnp.zeros((num_det,), jnp.float32).at[tgt].set(
-        jnp.where(matched, 1.0, 0.0), mode="drop"
+    winner = (
+        jnp.full((num_det + 1,), -1, jnp.int32)
+        .at[tgt]
+        .max(jnp.where(matched, row_ids, -1))[:num_det]
     )
-    node_persons = jnp.full((num_det,), -1, jnp.int32).at[tgt].set(
-        jnp.where(matched, gt_person.astype(jnp.int32), -1), mode="drop"
-    )
-    node_classes = jnp.zeros((num_det,), jnp.int32).at[tgt].set(
-        jnp.where(matched, gt_type.astype(jnp.int32), 0), mode="drop"
-    )
+    has = winner >= 0
+    w = jnp.clip(winner, 0, r - 1)
+    node_labels = jnp.where(has, 1.0, 0.0)
+    node_persons = jnp.where(has, gt_person[w].astype(jnp.int32), -1)
+    node_classes = jnp.where(has, gt_type[w].astype(jnp.int32), 0)
     return node_labels, node_persons, node_classes
 
 
@@ -426,11 +436,15 @@ def _neighbour_pass(n, sim, col, matched_row, gt_person, gt_type, inclusion_radi
     # remove already-chosen columns
     chosen = jnp.zeros((n + 1,), bool).at[jnp.where(col >= 0, col, n)].set(True, mode="drop")[:n]
     cost = jnp.where(chosen[None, :], 0.0, cost)
-    # rows that were not matched in pass 1 cannot adopt neighbours
-    cost = jnp.where(matched_row[:, None], cost, 0.0)
+    # ambiguity counts claims from ALL GT rows — including rows that failed
+    # pass-1 matching; only the claiming itself is restricted to matched rows
+    # (reference order: ConstructGraph.py:886-899 computes ambiguous_dets
+    # before zeroing bad_rows at :900-903)
     claims = jnp.sum(cost > 0, axis=0)
     ambiguous = claims > 1
     cost = jnp.where(ambiguous[None, :], 0.0, cost)
+    # rows that were not matched in pass 1 cannot adopt neighbours
+    cost = jnp.where(matched_row[:, None], cost, 0.0)
     # each remaining nonzero (row, det) pair assigns the det to that row
     claimed = jnp.any(cost > 0, axis=0)
     claim_row = jnp.argmax(cost, axis=0)  # unique claimant where claimed

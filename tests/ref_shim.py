@@ -169,6 +169,79 @@ def install_shims():
     sys.modules.setdefault("Cython.Includes", cyinc)
 
 
+def load_ref_graph_constructor():
+    """Load the reference graph_constructor/ConstructGraph.py.
+
+    Its label-construction methods (_construct_edge_labels_*, match_cc,
+    create_loss_mask — ConstructGraph.py:475-1158) need only torch/scipy/
+    numpy; the torch_geometric and Utils.Utils imports are satisfied with
+    stubs (they are used only by graph building / node dropout, which the
+    golden tests don't exercise).
+    """
+    install_shims()
+    tg = sys.modules["torch_geometric"]
+    if not hasattr(tg, "utils"):
+        gutils = types.ModuleType("torch_geometric.utils")
+
+        def _unused(*a, **k):  # pragma: no cover
+            raise NotImplementedError("stub")
+
+        gutils.subgraph = _unused
+        tg.utils = gutils
+        sys.modules["torch_geometric.utils"] = gutils
+    if "Utils.Utils" not in sys.modules:
+        up = types.ModuleType("Utils")
+        up.__path__ = []
+        uu = types.ModuleType("Utils.Utils")
+
+        def non_maximum_suppression(*a, **k):  # pragma: no cover
+            raise NotImplementedError("stub")
+
+        def subgraph_mask(*a, **k):  # pragma: no cover
+            raise NotImplementedError("stub")
+
+        uu.non_maximum_suppression = non_maximum_suppression
+        uu.subgraph_mask = subgraph_mask
+        up.Utils = uu
+        sys.modules["Utils"] = up
+        sys.modules["Utils.Utils"] = uu
+
+    full = "ref_constructgraph"
+    if full in sys.modules:
+        return sys.modules[full]
+    spec = importlib.util.spec_from_file_location(
+        full, "/root/reference/src/graph_constructor/ConstructGraph.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[full] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def make_ref_label_constructor(
+    hw=(128, 128),
+    num_joints=17,
+    matching_radius=0.5,
+    inclusion_radius=0.75,
+    use_neighbours=False,
+    with_background=False,
+):
+    """Reference NaiveGraphConstructor with only the attrs the label methods
+    read (bypasses __init__, which wants full batched tensors + config)."""
+    cg = load_ref_graph_constructor()
+    gc = cg.NaiveGraphConstructor.__new__(cg.NaiveGraphConstructor)
+    gc.use_gt = False
+    gc.device = torch.device("cpu")
+    gc.num_joints = num_joints
+    gc.matching_radius = matching_radius
+    gc.inclusion_radius = inclusion_radius
+    gc.include_neighbouring_keypoints = use_neighbours
+    gc.with_background_class = with_background
+    # only .shape[2:4] is read (clamp bound)
+    gc.scoremaps = torch.zeros(1, num_joints, hw[0], hw[1])
+    return gc
+
+
 def load_ref_module(name: str, pkg: str = "ref_mpn"):
     """Load a reference MPN module by filename (no .py) under a fake package
     so its relative imports (.layers, .utils) resolve."""
