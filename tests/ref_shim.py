@@ -156,8 +156,16 @@ def install_shims():
     tgnn = types.ModuleType("torch_geometric.nn")
     tgnn.MessagePassing = MessagePassing
     tg.nn = tgnn
+    gutils = types.ModuleType("torch_geometric.utils")
+
+    def _subgraph(*a, **k):  # pragma: no cover - import-time stub only
+        raise NotImplementedError("torch_geometric.utils.subgraph stub")
+
+    gutils.subgraph = _subgraph
+    tg.utils = gutils
     sys.modules.setdefault("torch_geometric", tg)
     sys.modules.setdefault("torch_geometric.nn", tgnn)
+    sys.modules.setdefault("torch_geometric.utils", gutils)
 
     cy = types.ModuleType("Cython")
     cyinc = types.ModuleType("Cython.Includes")
@@ -179,16 +187,6 @@ def load_ref_graph_constructor():
     golden tests don't exercise).
     """
     install_shims()
-    tg = sys.modules["torch_geometric"]
-    if not hasattr(tg, "utils"):
-        gutils = types.ModuleType("torch_geometric.utils")
-
-        def _unused(*a, **k):  # pragma: no cover
-            raise NotImplementedError("stub")
-
-        gutils.subgraph = _unused
-        tg.utils = gutils
-        sys.modules["torch_geometric.utils"] = gutils
     if "Utils.Utils" not in sys.modules:
         up = types.ModuleType("Utils")
         up.__path__ = []
@@ -240,6 +238,21 @@ def make_ref_label_constructor(
     # only .shape[2:4] is read (clamp bound)
     gc.scoremaps = torch.zeros(1, num_joints, hw[0], hw[1])
     return gc
+
+
+def load_ref_losses():
+    """Load the reference src/Utils/loss.py (reference: loss.py:1-936)."""
+    install_shims()
+    full = "ref_losses"
+    if full in sys.modules:
+        return sys.modules[full]
+    spec = importlib.util.spec_from_file_location(
+        full, "/root/reference/src/Utils/loss.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[full] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def load_ref_module(name: str, pkg: str = "ref_mpn"):

@@ -66,3 +66,37 @@ def test_tta_portrait_orientation(tta_setup):
     out = pipe(image)
     bw, bh = out["base_size"]
     assert bh > bw
+
+
+def test_run_batched_matches_per_image(tta_setup):
+    """run_batched (one-jit batched eval) must reproduce the per-image path."""
+    cfg, model, variables = tta_setup
+    pipe = TTAPipeline(model, variables, cfg)
+    rng = np.random.RandomState(1)
+    # two shape groups: 180x240 (x3, chunks to pow2) and 200x150
+    images = [
+        (rng.rand(180, 240, 3) * 255).astype(np.uint8) for _ in range(3)
+    ] + [(rng.rand(200, 150, 3) * 255).astype(np.uint8)]
+
+    batched = pipe.run_batched(images, batch_size=2)
+    for i, image in enumerate(images):
+        single = pipe(image)
+        np.testing.assert_allclose(
+            np.asarray(batched[i]["scoremaps"]),
+            np.asarray(single["scoremaps"]),
+            atol=2e-5, rtol=1e-4,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batched[i]["nodes"]), np.asarray(single["nodes"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched[i]["node_scores"]),
+            np.asarray(single["node_scores"]),
+            atol=2e-5, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched[i]["persons"]),
+            np.asarray(single["persons"]),
+            atol=1e-4, rtol=1e-4,
+        )
+        assert batched[i]["base_size"] == single["base_size"]

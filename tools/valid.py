@@ -109,16 +109,32 @@ def main():
     dur_kpt, dur_constr = [], []
     n = len(eval_set) if args.max_images is None else min(args.max_images, len(eval_set))
     num_joints = config.DATASET.NUM_JOINTS
-    for i in range(n):
+    # device batching: images are loaded in windows, grouped by padded-shape
+    # signature inside run_batched, and processed as one jit per batch —
+    # the reference evaluates batch=1 in python (reference: valid.py:94-135)
+    window = int(os.environ.get("EVAL_WINDOW", 64))
+    batch_size = int(os.environ.get("EVAL_BATCH", 8))
+
+    def iter_outputs():
+        for w0 in range(0, n, window):
+            idxs = list(range(w0, min(w0 + window, n)))
+            images = []
+            for i in idxs:
+                img_id = int(eval_set.img_ids[i])
+                _, _, info, image = eval_set.load_raw(i) if hasattr(eval_set, "load_raw") else (
+                    None, None, eval_set.coco.loadImgs(img_id)[0], eval_set[i][0],
+                )
+                images.append(np.asarray(image))
+            t0 = time.perf_counter()
+            outs = pipe.run_batched(images, batch_size=batch_size)
+            per_img = (time.perf_counter() - t0) / len(idxs)
+            for i, out in zip(idxs, outs):
+                dur_kpt.append(per_img)
+                yield i, out
+
+    for i, out in iter_outputs():
         img_id = int(eval_set.img_ids[i])
         eval_ids.append(img_id)
-        _, _, info, image = eval_set.load_raw(i) if hasattr(eval_set, "load_raw") else (
-            None, None, eval_set.coco.loadImgs(img_id)[0], eval_set[i][0],
-        )
-        t0 = time.perf_counter()
-        out = pipe(np.asarray(image))
-        dur_kpt.append(time.perf_counter() - t0)
-
         t0 = time.perf_counter()
         if on_device_decode:
             persons, person_valid = out["persons"], out["person_valid"]
