@@ -326,6 +326,7 @@ class TypeAwareMPNLayer(nn.Module):
     update_type: str = "mlp"
     blocked_c: int = 0  # >0: edges are target-major blocks of this size
     use_fused_kernel: bool = False  # Pallas fused message+aggregate (TPU)
+    pallas_interpret: bool = False  # run the kernel in interpret mode (tests)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -382,6 +383,7 @@ class TypeAwareMPNLayer(nn.Module):
                 new_edge.astype(self.dtype), a, src_type, ev,
                 we_flat, jnp.asarray(ak, self.dtype),
                 num_nodes, self.num_types,
+                interpret=self.pallas_interpret,
             )
             if self.update_type == "mlp":
                 flat = updates.reshape(num_nodes, -1)

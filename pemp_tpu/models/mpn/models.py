@@ -110,6 +110,7 @@ class _StepBody(nn.Module):
                 update_type=c["UPDATE_TYPE"],
                 blocked_c=blocked_c,
                 use_fused_kernel=c.get("_USE_PALLAS", False),
+                pallas_interpret=c.get("_PALLAS_INTERPRET", False),
                 dtype=self.dtype,
                 name="layer",
             )(nf, ef, edge_index, node_types, edge_valid)
@@ -184,9 +185,9 @@ class NodeClassificationMPN(nn.Module):
         node_steps = c.get("NODE_STEPS", 0)
         aux = c["AUX_LOSS_STEPS"]
 
-        # the fused Pallas kernel has no VJP: inference only
+        # the fused kernel has a custom VJP (backward Pallas kernel), so the
+        # fused path serves training and inference alike
         c_run = dict(c)
-        c_run["_USE_PALLAS"] = c.get("_USE_PALLAS", False) and not train
 
         node_features, edge_features, node_stack, edge_stack = _run_steps(
             self, c_run, num_types, c["SKIP"], steps, node_features, edge_features,

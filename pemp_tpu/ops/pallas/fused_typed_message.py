@@ -25,27 +25,29 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 
 
-def _kernel(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, out_ref,
-            *, nb, c, t, d):
+def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
+                  *, nb, c, t, d):
+    """Shared per-tile math: returns (m, w, ok, hot_f, pre) where
+    m (nbc, D) typed messages, w (nbt, nbc) softmax weights, ok the group
+    mask, hot_f (nbc, T) type one-hot, pre the pre-ReLU activations."""
     nbc = nb * c
     nbt = nb * t
     ef = ef_ref[:]                        # (nbc, De)
     types = types_ref[:]                  # (nbc, 1) int32
     valid = valid_ref[:]                  # (nbc, 1) int32
-    a = a_ref[:].astype(jnp.float32)      # (nbt, D) node-part incl. bias
+    a = a_ref[:].astype(jnp.float32)      # (nbt, D)
 
-    # one-hot over types per slot: (nbc, T)
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, t), 1)
-    hot = (types == t_iota)               # bool (nbc, T)
+    hot = (types == t_iota)
     hot_f = hot.astype(jnp.float32)
 
-    # edge part: accumulate per-type contraction, selecting via hot columns
     b_sel = jnp.zeros((nbc, d), jnp.float32)
     for ti in range(t):
         bt = jax.lax.dot_general(
@@ -55,7 +57,6 @@ def _kernel(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, out_ref,
         )
         b_sel = b_sel + hot_f[:, ti:ti + 1] * bt
 
-    # node part: rows of `a` selected by (node, type) one-hot matmul
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbt), 1)
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbt), 0)
     row_n = row_iota // t
@@ -68,16 +69,15 @@ def _kernel(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, out_ref,
         preferred_element_type=jnp.float32,
     )                                      # (nbc, D)
 
-    m = jax.nn.relu(a_sel + b_sel)         # (nbc, D)
+    pre = a_sel + b_sel
+    m = jax.nn.relu(pre)
 
-    # attention logits per slot, laid out as a row vector (1, nbc)
     attn_row = jax.lax.dot_general(
         wa_ref[:], ef,
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                      # (heads, nbc); head 0 used
+    )                                      # (heads, nbc)
 
-    # S (nbt, nbc): masked per-(node,type) softmax over slots
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (nbt, nbc), 0)
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (nbt, nbc), 1)
     rn = r_iota // t
@@ -87,30 +87,126 @@ def _kernel(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, out_ref,
         jnp.ones((nbt, 1), jnp.float32), types.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)                    # (nbt, nbc) broadcast of types
+    ).astype(jnp.int32)
     valid_row = jax.lax.dot_general(
         jnp.ones((nbt, 1), jnp.float32), valid.astype(jnp.float32),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                      # (nbt, nbc)
+    )
     ok = (rn == sn) & (type_row == rt) & (valid_row > 0)
     attn_b = jax.lax.dot_general(
         jnp.ones((nbt, 1), jnp.float32), attn_row[:1],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                      # (nbt, nbc)
+    )
     scores = jnp.where(ok, attn_b, _NEG)
     mx = jnp.max(scores, axis=1, keepdims=True)
     mx = jnp.where(mx <= _NEG / 2, 0.0, mx)
     e = jnp.exp(scores - mx) * ok.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
     w = e / denom                          # (nbt, nbc)
+    return ef, m, w, ok, hot_f, pre
 
+
+def _kernel(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, out_ref,
+            *, nb, c, t, d):
+    _, m, w, _, _, _ = _tile_forward(
+        ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, nb=nb, c=c, t=t, d=d
+    )
     out = jax.lax.dot_general(
         w, m, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                      # (nbt, D)
     out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _bwd_kernel(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, g_ref,
+                def_ref, da_ref, dwe_ref, dwa_ref, *, nb, c, t, d):
+    """Backward tile: recomputes the forward residuals in VMEM, then
+
+        dm      = w^T g            (per-slot message cotangent)
+        dpre    = dm * 1[pre > 0]
+        v       = rowsum(m * (ok^T g))        per-slot logit value
+        S       = w v                          per-row weighted value
+        dlogit  = colsum(w) * (v - ok^T S)     softmax backward
+        da      = ok dpre
+        dwe_t  += ef^T (dpre * hot_t)
+        def     = sum_t hot_t * (dpre @ we_t^T) + dlogit * wa^T
+        dwa    += ef^T dlogit
+    """
+    ef, m, w, ok, hot_f, pre = _tile_forward(
+        ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, nb=nb, c=c, t=t, d=d
+    )
+    g = g_ref[:].astype(jnp.float32)       # (nbt, D)
+    ok_f = ok.astype(jnp.float32)          # (nbt, nbc)
+
+    dm = jax.lax.dot_general(
+        w, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (nbc, D)
+    dpre = dm * (pre > 0).astype(jnp.float32)
+
+    g_sel = jax.lax.dot_general(
+        ok_f, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (nbc, D)
+    v = jnp.sum(m * g_sel, axis=1, keepdims=True)          # (nbc, 1)
+    s_row = jax.lax.dot_general(
+        w, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (nbt, 1)
+    s_sel = jax.lax.dot_general(
+        ok_f, s_row, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (nbc, 1)
+    wcol = jnp.sum(w, axis=0)[:, None]     # (nbc, 1) — one nonzero per column
+    dlogit = wcol * (v - s_sel)            # (nbc, 1)
+
+    da = jax.lax.dot_general(
+        ok_f, dpre, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (nbt, D)
+    da_ref[:] = da.astype(da_ref.dtype)
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dwe_ref[:] = jnp.zeros(dwe_ref.shape, dwe_ref.dtype)
+        dwa_ref[:] = jnp.zeros(dwa_ref.shape, dwa_ref.dtype)
+
+    def_acc = jax.lax.dot_general(
+        dlogit, wa_ref[:, 0:1],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (nbc, De)
+    for ti in range(t):
+        dpre_t = dpre * hot_f[:, ti:ti + 1]
+        dwe_ref[:, ti * d:(ti + 1) * d] += jax.lax.dot_general(
+            ef, dpre_t, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dwe_ref.dtype)
+        def_acc = def_acc + jax.lax.dot_general(
+            dpre_t, we_ref[:, ti * d:(ti + 1) * d],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    def_ref[:] = def_acc.astype(def_ref.dtype)
+
+    dwa = jax.lax.dot_general(
+        ef, dlogit, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (De, 1)
+    dwa_ref[:, 0:1] += dwa.astype(dwa_ref.dtype)
+
+
+def _pick_tile(num_nodes, c, num_types, node_tile):
+    nb = node_tile
+    while num_nodes % nb or (nb * num_types) % 8 or (nb * c) % 8:
+        nb -= 1
+        if nb == 0:
+            raise ValueError("no valid node tile for these shapes")
+    return nb
 
 
 def fused_typed_message_aggregate(
@@ -125,15 +221,95 @@ def fused_typed_message_aggregate(
     node_tile: int = 8,
     interpret: bool = False,
 ):
-    """Returns updates (N, T, D) float32."""
+    """Returns updates (N, T, D) float32. Differentiable (custom VJP with a
+    backward Pallas kernel that recomputes residuals per tile)."""
+    return _fused_vjp(
+        edge_feats, a, types, valid, we, w_attn,
+        num_nodes, num_types, node_tile, interpret,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _fused_vjp(edge_feats, a, types, valid, we, w_attn,
+               num_nodes, num_types, node_tile, interpret):
+    return _fused_forward(
+        edge_feats, a, types, valid, we, w_attn,
+        num_nodes, num_types, node_tile, interpret,
+    )
+
+
+def _fused_fwd_rule(edge_feats, a, types, valid, we, w_attn,
+                    num_nodes, num_types, node_tile, interpret):
+    out = _fused_forward(
+        edge_feats, a, types, valid, we, w_attn,
+        num_nodes, num_types, node_tile, interpret,
+    )
+    return out, (edge_feats, a, types, valid, we, w_attn)
+
+
+def _fused_bwd_rule(num_nodes, num_types, node_tile, interpret, res, g):
+    edge_feats, a, types, valid, we, w_attn = res
     e, de = edge_feats.shape
     c = e // num_nodes
     d = a.shape[-1]
-    nb = node_tile
-    while num_nodes % nb or (nb * num_types) % 8 or (nb * c) % 8:
-        nb -= 1
-        if nb == 0:
-            raise ValueError("no valid node tile for these shapes")
+    nb = _pick_tile(num_nodes, c, num_types, node_tile)
+    grid = (num_nodes // nb,)
+    heads = w_attn.shape[1]
+
+    d_ef, da, dwe, dwa = pl.pallas_call(
+        functools.partial(_bwd_kernel, nb=nb, c=c, t=num_types, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb * c, de), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((de, num_types * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((de, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb * c, de), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((de, num_types * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((de, heads), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((num_nodes * c, de), jnp.float32),
+            jax.ShapeDtypeStruct((num_nodes * num_types, d), jnp.float32),
+            jax.ShapeDtypeStruct((de, num_types * d), jnp.float32),
+            jax.ShapeDtypeStruct((de, heads), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        edge_feats,
+        a.reshape(num_nodes * num_types, d),
+        types.astype(jnp.int32).reshape(num_nodes * c, 1),
+        valid.astype(jnp.int32).reshape(num_nodes * c, 1),
+        we,
+        w_attn,
+        g.astype(jnp.float32).reshape(num_nodes * num_types, d),
+    )
+    d_ef = d_ef.astype(edge_feats.dtype)
+    da = da.reshape(num_nodes, num_types, d).astype(a.dtype)
+    dwe = dwe.astype(we.dtype)
+    dwa = dwa.astype(w_attn.dtype)
+    d_types = np.zeros(types.shape, jax.dtypes.float0)
+    d_valid = np.zeros(valid.shape, jax.dtypes.float0)
+    return d_ef, da, d_types, d_valid, dwe, dwa
+
+
+_fused_vjp.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+def _fused_forward(
+    edge_feats, a, types, valid, we, w_attn,
+    num_nodes: int, num_types: int, node_tile: int = 8, interpret: bool = False,
+):
+    e, de = edge_feats.shape
+    c = e // num_nodes
+    d = a.shape[-1]
+    nb = _pick_tile(num_nodes, c, num_types, node_tile)
 
     grid = (num_nodes // nb,)
     out = pl.pallas_call(

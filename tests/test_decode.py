@@ -143,3 +143,20 @@ def test_decode_no_survivors_returns_none():
     )
     ann = persons_to_ann(persons, valid, (96, 96), 96, 1, "short")
     assert ann is None
+
+
+def test_connected_components_dense_matches_sparse():
+    from pemp_tpu.ops.components import (
+        _connected_components_dense,
+        _connected_components_sparse,
+    )
+
+    rng = np.random.RandomState(0)
+    for _ in range(10):
+        n, e = 60, 150
+        ei = jnp.asarray(rng.randint(0, n, (2, e)))
+        ev = jnp.asarray(rng.rand(e) > 0.5)
+        nv = jnp.asarray(rng.rand(n) > 0.2)
+        a = np.asarray(_connected_components_dense(ei, ev, n, nv))
+        b = np.asarray(_connected_components_sparse(ei, ev, n, nv))
+        np.testing.assert_array_equal(a, b)

@@ -44,9 +44,9 @@ def test_fused_tile_ok():
     assert not fused_tile_ok(68, 10, 17)
 
 
-def test_fused_flag_is_inference_only():
-    """Training (grad) still works with _USE_PALLAS set: the flag is dropped
-    at train time so autodiff never sees the kernel."""
+def test_fused_training_grads_through_kernel():
+    """Training with _USE_PALLAS flows gradients through the kernel's custom
+    VJP (interpret mode stands in for the TPU backend on CPU)."""
     from pemp_tpu.config import get_config, update_config
     from pemp_tpu.models.mpn.models import NodeClassificationMPN, mpn_cfg_from_config
     from pemp_tpu.ops.knn import knn_edges_target_major
@@ -64,7 +64,7 @@ def test_fused_flag_is_inference_only():
     x = jnp.asarray(rng.randn(n, 128), jnp.float32)
     ea = jnp.asarray(rng.randn(n * c, 19), jnp.float32)
     types = jnp.asarray(rng.randint(0, 17, n), jnp.int32)
-    model = NodeClassificationMPN({**base, "_BLOCKED_C": c, "_USE_PALLAS": True})
+    model = NodeClassificationMPN({**base, "_BLOCKED_C": c, "_USE_PALLAS": True, "_PALLAS_INTERPRET": True})
     args = (x, ea, ei, types, valid, ev)
     variables = model.init(jax.random.PRNGKey(0), *args, train=True)
 
@@ -79,3 +79,35 @@ def test_fused_flag_is_inference_only():
     assert all(
         bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(g)
     )
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_fused_kernel_vjp_parity(seed):
+    """Custom backward kernel vs jax autodiff of the jnp reference."""
+    rng = np.random.RandomState(seed + 10)
+    n, c, t, d, de = 8, 10, 4, 8, 6
+    ef = jnp.asarray(rng.randn(n * c, de).astype(np.float32))
+    a = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+    types = jnp.asarray(rng.randint(0, t, n * c), jnp.int32)
+    valid = jnp.asarray(rng.rand(n * c) > 0.3)
+    we = jnp.asarray(rng.randn(de, t * d).astype(np.float32))
+    wa = jnp.asarray(rng.randn(de, 1).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+
+    def f_ref(ef, a, we, wa):
+        return jnp.sum(jnp_reference(ef, a, types, valid, we, wa, n, t) * g)
+
+    def f_kernel(ef, a, we, wa):
+        return jnp.sum(
+            fused_typed_message_aggregate(
+                ef, a, types, valid, we, wa, n, t, interpret=True
+            )
+            * g
+        )
+
+    want = jax.grad(f_ref, argnums=(0, 1, 2, 3))(ef, a, we, wa)
+    got = jax.grad(f_kernel, argnums=(0, 1, 2, 3))(ef, a, we, wa)
+    for name, w_, g_ in zip(("ef", "a", "we", "wa"), want, got):
+        np.testing.assert_allclose(
+            np.asarray(g_), np.asarray(w_), rtol=1e-4, atol=1e-4, err_msg=name
+        )
