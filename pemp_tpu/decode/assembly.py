@@ -109,22 +109,30 @@ def fill_mean(persons, person_valid):
 def refine_ae(scoremaps, tagmaps, persons, person_valid):
     """AE-based missing-joint fill-in (reference refine: Utils.py:1026-1104).
 
-    scoremaps, tagmaps: (J, H, W). For each person: mean tag over present
-    joints; for each joint type argmax over the map of
-    score - round(|tag - mean|); add joints not yet present with score 1e-3.
+    scoremaps: (J, H, W); tagmaps: (J, H, W) or (J, H, W, S) with TTA tag
+    channels. For each person: per-channel mean tag over present joints; for
+    each joint type argmax over the map of score - round(||tag - mean||)
+    (vector norm over channels, reference Utils.py:1100); add joints not yet
+    present with score 1e-3.
     """
     j, h, w = scoremaps.shape
+    if tagmaps.ndim == 3:
+        tagmaps = tagmaps[..., None]
 
     present = persons[:, :, 2] > 0  # (P, J)
     ptypes = jnp.arange(j)
     px = jnp.clip(persons[:, :, 0].astype(jnp.int32), 0, w - 1)
     py = jnp.clip(persons[:, :, 1].astype(jnp.int32), 0, h - 1)
-    tag_at = tagmaps[ptypes[None, :], py, px]  # (P, J)
+    tag_at = tagmaps[ptypes[None, :], py, px]  # (P, J, S)
     cnt = jnp.maximum(jnp.sum(present, axis=1), 1)
-    mean_tag = jnp.sum(jnp.where(present, tag_at, 0.0), axis=1) / cnt  # (P,)
+    mean_tag = (
+        jnp.sum(jnp.where(present[..., None], tag_at, 0.0), axis=1)
+        / cnt[:, None]
+    )  # (P, S)
 
     def per_person(mtag):
-        tt = jnp.abs(tagmaps - mtag)             # (J, H, W)
+        diff = tagmaps - mtag[None, None, None, :]   # (J, H, W, S)
+        tt = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
         tmp2 = scoremaps - jnp.round(tt)
         flat = tmp2.reshape(j, h * w)
         idx = jnp.argmax(flat, axis=1)
@@ -144,10 +152,12 @@ def refine_ae(scoremaps, tagmaps, persons, person_valid):
     # (full vmap would materialize P x (J, H, W) workspaces at once — heavy
     # at full-res TTA canvases; fully sequential lax.map is latency-bound)
     p = mean_tag.shape[0]
-    chunk = max(1, min(p, int(64 * 1024 * 1024 / max(scoremaps.size * 4, 1))))
+    chunk = max(1, min(p, int(64 * 1024 * 1024 / max(tagmaps.size * 4, 1))))
     while p % chunk:
         chunk -= 1
-    ans = jax.lax.map(jax.vmap(per_person), mean_tag.reshape(p // chunk, chunk))
+    ans = jax.lax.map(
+        jax.vmap(per_person), mean_tag.reshape(p // chunk, chunk, -1)
+    )
     ans = ans.reshape(p, j, 3)
     add = (~present) & (ans[:, :, 2] > 0) & person_valid[:, None]
     new_xy = jnp.where(add[..., None], ans[:, :, :2], persons[:, :, :2])

@@ -183,18 +183,25 @@ def _edge_features(cfg: GCConfig, det, scores, tags_at_det, edge_index, hw):
         theta = jnp.abs(jnp.arccos(jnp.where(denom > 0, ax / jnp.maximum(denom, 1e-12), 1.0)))
         theta = jnp.where(denom > 0, theta, 0.0)
         return jnp.concatenate([dx[:, None], dy[:, None], theta[:, None], conn], axis=-1)
+    # AE distances are vector norms over the tag channel dim (multi-scale/
+    # flip TTA concatenates tag channels — reference ConstructGraph.py:336-357
+    # `.norm(p=None, dim=1)` over possibly multi-dim joint tags)
+    tags2d = tags_at_det if tags_at_det.ndim == 2 else tags_at_det[:, None]
+
+    def tag_dist():
+        diff = tags2d[dst] - tags2d[src]
+        return jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+
     if feats == {"ae"}:
-        d = jnp.abs(tags_at_det[dst] - tags_at_det[src])
-        return d[:, None]
+        return tag_dist()[:, None]
     if feats == {"ae_normed"}:
-        d = jnp.round(jnp.abs(tags_at_det[dst] - tags_at_det[src])) * 100.0 - scores[src]
+        d = jnp.round(tag_dist()) * 100.0 - scores[src]
         return d[:, None]
     if feats == {"ae_tracking_1"}:
         t_a = 1.8425
-        d = jnp.abs(tags_at_det[dst] - tags_at_det[src])
-        return ((t_a - d) / t_a)[:, None]
+        return (((t_a - tag_dist()) / t_a))[:, None]
     if feats == {"position", "connection_type", "ae_normed"}:
-        d = jnp.abs(tags_at_det[dst] - tags_at_det[src])
+        d = tag_dist()
         return jnp.concatenate([dx[:, None], dy[:, None], conn, d[:, None]], axis=-1)
     raise NotImplementedError(cfg.edge_features)
 
@@ -468,7 +475,7 @@ def construct_graph_batch(
     cfg: GCConfig,
     scoremaps,       # (B, H, W, J)  detached heatmaps
     features,        # (B, H, W, C)  feature-gather output
-    tagmaps,         # (B, H, W, J)
+    tagmaps,         # (B, H, W, J) or (B, H, W, J, S) with TTA tag channels
     joints_gt=None,  # (B, P, J, 3) or None at test time
     factors=None,    # (B, P, J)
     masks=None,      # (B, H, W) crowd masks

@@ -324,6 +324,8 @@ class NodeClassificationMPNTag(nn.Module):
         tag_head = MLP(tuple(c["NODE_TAG"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="tag_pred")
         tag = tag_head(node_f, node_valid, train)[..., 0]
         if c.get("TAG_SKIP", False) and joint_tags is not None:
+            if joint_tags.ndim == 2:  # TTA tag channels: skip from their mean
+                joint_tags = jnp.mean(joint_tags, axis=-1)
             tag = tag + joint_tags
 
         node_steps = c.get("NODE_STEPS", 0)

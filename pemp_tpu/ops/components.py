@@ -8,6 +8,8 @@ two segment_min ops + a gather chain — all static-shape inside jit.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -48,7 +50,7 @@ def _connected_components_dense(edge_index, edge_valid, num_nodes: int, node_val
     a = jnp.minimum(a, 1.0)
 
     # squaring doubles reachable path length: ceil(log2(N)) rounds suffice
-    rounds = max(1, int(jnp.ceil(jnp.log2(num_nodes))))
+    rounds = max(1, math.ceil(math.log2(max(num_nodes, 2))))
     for _ in range(rounds):
         a = (jnp.dot(a, a, precision=jax.lax.Precision.DEFAULT) > 0).astype(
             jnp.float32

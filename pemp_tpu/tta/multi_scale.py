@@ -16,9 +16,11 @@ device<->host per scale. Here:
   * graph construction + MPN + decode then run once on the aggregate, with
     the base-region validity mask doubling as the detection crowd mask
 
-Deviation from the reference (documented): flip/scale tag channels are
-averaged into one tag map before grouping instead of concatenated; the
-reference keeps them and uses vector norms (multi_scales_testing.py:144-195).
+Tag channels follow the reference exactly: the scale-1 pass (or the single
+configured scale) contributes its original and flipped tag maps as separate
+channels — (H, W, J, S) with S = 2 if flip else 1 — and every downstream
+consumer (AE edge features, refine, AE grouping) uses vector norms over S
+(reference: multi_scales_testing.py:148-161, Utils.py:1100).
 """
 
 from __future__ import annotations
@@ -115,6 +117,7 @@ class TTAPipeline:
 
             sm, feat, tg = forward(padded)
             n_acc = 1.0
+            tag_vars = [tg]
             if use_flip:
                 sm_f, _, tg_f = forward(flipped)
                 # un-flip: valid region [0, ws/2) maps back after flip+roll
@@ -123,9 +126,12 @@ class TTAPipeline:
                 sm_f = jnp.roll(jnp.flip(sm_f, axis=1), -shift, axis=1)
                 tg_f = jnp.roll(jnp.flip(tg_f, axis=1), -shift, axis=1)
                 sm = sm + sm_f[:, :, flip_index]
-                tg = (tg + tg_f[:, :, flip_index]) / 2.0
+                # tags are NOT averaged: orig + flipped stay separate channels
+                # (reference aggregate_results_mpn: multi_scales_testing.py:148-161)
+                tag_vars.append(tg_f[:, :, flip_index])
                 n_acc = 2.0
             sm = sm / n_acc
+            tg = jnp.stack(tag_vars, axis=-1)  # (h, w, J, F)
 
             # project onto the base canvas (scale_and_translate: dynamic
             # scale, static shapes) — reference project2image + aggregate
@@ -144,7 +150,10 @@ class TTAPipeline:
                     method="bilinear",
                 )
 
-            return project(sm), project(feat), project(tg)
+            f = tg.shape[-1]
+            tg_flat = tg.reshape(tg.shape[0], tg.shape[1], -1)
+            tg_proj = project(tg_flat).reshape(bh, bw, j, f)
+            return project(sm), project(feat), tg_proj
 
         fn = jax.jit(run)
         self._scale_fns[key] = fn
@@ -194,7 +203,7 @@ class TTAPipeline:
             if with_decode:
                 persons, person_valid = decode_poses(
                     jnp.transpose(heat, (2, 0, 1)),
-                    jnp.transpose(tags, (2, 0, 1)),
+                    jnp.transpose(tags, (2, 0, 1, 3)),
                     gb.joint_det, node_pred, gb.edge_index, gb.edge_valid,
                     edge_pred, gb.node_valid,
                     node_threshold=nt, num_joints=j,
@@ -233,6 +242,7 @@ class TTAPipeline:
         nt = self.node_threshold
         j = self.num_joints
         n_scales = len(in_shapes)
+        scales = self.scales
 
         def forward(imgs):
             _, scoremaps, features, tags = model.apply(
@@ -252,12 +262,15 @@ class TTAPipeline:
             heat_acc = feat_acc = tag_acc = None
             for s in range(n_scales):
                 sm, feat, tg = forward(padded_all[s])
+                tag_vars = [tg]
                 if use_flip:
                     sm_f, _, tg_f = forward(flipped_all[s])
                     sm_f = jax.vmap(unflip)(sm_f, scale_dims[s, :, 1])
                     tg_f = jax.vmap(unflip)(tg_f, scale_dims[s, :, 1])
                     sm = (sm + sm_f[:, :, :, flip_index]) / 2.0
-                    tg = (tg + tg_f[:, :, :, flip_index]) / 2.0
+                    # tags stay separate channels (multi_scales_testing.py:148-161)
+                    tag_vars.append(tg_f[:, :, :, flip_index])
+                tg = jnp.stack(tag_vars, axis=-1)  # (B, h, w, J, F)
 
                 ih, iw = in_shapes[s]
 
@@ -279,10 +292,16 @@ class TTAPipeline:
 
                 heat_acc = proj(sm) if heat_acc is None else heat_acc + proj(sm)
                 feat_acc = proj(feat) if feat_acc is None else feat_acc + proj(feat)
-                tag_acc = proj(tg) if tag_acc is None else tag_acc + proj(tg)
+                # only the scale-1 pass contributes tags (reference
+                # aggregate_results_mpn: multi_scales_testing.py:148-150)
+                if scales[s] == 1.0 or n_scales == 1 or (
+                    tag_acc is None and s == n_scales - 1
+                ):
+                    f = tg.shape[-1]
+                    tgf = tg.reshape(tg.shape[0], tg.shape[1], tg.shape[2], -1)
+                    tag_acc = proj(tgf).reshape(batch, bh, bw, -1, f)
             heat_acc = heat_acc / float(n_scales)
             feat_acc = feat_acc / float(n_scales)
-            tag_acc = tag_acc / float(n_scales)
 
             yy = jnp.arange(bh, dtype=jnp.float32)[None, :, None]
             xx = jnp.arange(bw, dtype=jnp.float32)[None, None, :]
@@ -326,7 +345,7 @@ class TTAPipeline:
             )
             if with_decode:
                 sm_cf = jnp.transpose(heat_acc, (0, 3, 1, 2))
-                tg_cf = jnp.transpose(tag_acc, (0, 3, 1, 2))
+                tg_cf = jnp.transpose(tag_acc, (0, 3, 1, 2, 4))
 
                 def decode_one(i):
                     cp = out["class_prob"][i] if class_prob is not None else None
@@ -429,7 +448,8 @@ class TTAPipeline:
             canvas_h, canvas_w = base_h / 2.0, base_w / 2.0
         bh, bw = _bucket(int(canvas_h)), _bucket(int(canvas_w))
         heat_acc = feat_acc = tag_acc = None
-        for p in prepared:
+        single_scale = len(self.scales) == 1
+        for s, p in zip(self.scales, prepared):
             in_shape = p["padded"].shape[:2]
             fn = self._get_scale_fn(in_shape, (bh, bw))
             dims = jnp.asarray(
@@ -440,11 +460,15 @@ class TTAPipeline:
             )
             heat_acc = heat if heat_acc is None else heat_acc + heat
             feat_acc = feat if feat_acc is None else feat_acc + feat
-            tag_acc = tg if tag_acc is None else tag_acc + tg
+            # only the scale-1 pass contributes tag channels (reference
+            # aggregate_results_mpn: multi_scales_testing.py:148-150)
+            if s == 1.0 or single_scale:
+                tag_acc = tg
         n = float(len(self.scales))
         heat_acc = heat_acc / n
         feat_acc = feat_acc / n
-        tag_acc = tag_acc / n
+        if tag_acc is None:  # no scale-1 pass configured: fall back to last
+            tag_acc = tg
 
         if self.maps_only:
             out = {}

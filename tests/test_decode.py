@@ -160,3 +160,52 @@ def test_connected_components_dense_matches_sparse():
         a = np.asarray(_connected_components_dense(ei, ev, n, nv))
         b = np.asarray(_connected_components_sparse(ei, ev, n, nv))
         np.testing.assert_array_equal(a, b)
+
+
+def test_refine_ae_multichannel_matches_reference_oracle():
+    """refine_ae with TTA tag channels vs a numpy oracle of the reference
+    refine (Utils.py:1026-1104): vector-norm tag distance over channels."""
+    from pemp_tpu.decode.assembly import refine_ae
+
+    rng = np.random.RandomState(0)
+    j, h, w, s, p = 5, 24, 20, 2, 3
+    scoremaps = rng.rand(j, h, w).astype(np.float32)
+    tagmaps = rng.randn(j, h, w, s).astype(np.float32)
+    persons = np.zeros((p, j, 3), np.float32)
+    for pi in range(p):
+        for ji in range(j):
+            if rng.rand() < 0.6:
+                persons[pi, ji] = [rng.randint(w), rng.randint(h), rng.rand() + 0.1]
+    person_valid = np.array([True, True, False])
+
+    got = np.asarray(
+        refine_ae(
+            jnp.asarray(scoremaps), jnp.asarray(tagmaps),
+            jnp.asarray(persons), jnp.asarray(person_valid),
+        )
+    )
+
+    # numpy oracle (reference semantics)
+    want = persons.copy()
+    for pi in range(p):
+        if not person_valid[pi]:
+            continue
+        tags = [
+            tagmaps[ji, int(persons[pi, ji, 1]), int(persons[pi, ji, 0])]
+            for ji in range(j) if persons[pi, ji, 2] > 0
+        ]
+        if not tags:
+            continue
+        mean_tag = np.mean(np.array(tags), axis=0)
+        for ji in range(j):
+            tt = np.sqrt(((tagmaps[ji] - mean_tag[None, None, :]) ** 2).sum(-1))
+            tmp2 = scoremaps[ji] - np.round(tt)
+            y, x = np.unravel_index(np.argmax(tmp2), tmp2.shape)
+            val = scoremaps[ji, y, x]
+            xx, yy = x, y
+            fx = x + 0.5 + (0.25 if scoremaps[ji, yy, min(xx + 1, w - 1)] > scoremaps[ji, yy, max(xx - 1, 0)] else -0.25)
+            fy = y + 0.5 + (0.25 if scoremaps[ji, min(yy + 1, h - 1), xx] > scoremaps[ji, max(yy - 1, 0), xx] else -0.25)
+            if val > 0 and persons[pi, ji, 2] == 0:
+                want[pi, ji] = [fx, fy, 1e-3]
+
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -170,7 +170,7 @@ def main():
             labels = cluster_labels(ei[:, sel], ep[sel] - 0.5, len(nodes), cc_method)
             persons, person_valid = decode_poses(
                 jnp.transpose(out["scoremaps"], (2, 0, 1)),
-                jnp.transpose(out["tags"], (2, 0, 1)),
+                jnp.transpose(out["tags"], (2, 0, 1, 3)),
                 jnp.asarray(nodes), jnp.asarray(nscore), jnp.asarray(ei),
                 jnp.asarray(ev), jnp.asarray(ep), jnp.asarray(nvalid),
                 node_threshold=config.MODEL.MPN.NODE_THRESHOLD,

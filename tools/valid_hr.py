@@ -88,10 +88,11 @@ def main():
         t0 = time.perf_counter()
         out = pipe(np.asarray(image))
         det = np.asarray(out["scoremaps"]).transpose(2, 0, 1)  # (J, H, W)
-        tags = np.asarray(out["tags"]).transpose(2, 0, 1)
+        tags = np.asarray(out["tags"])
+        tags = tags.transpose(2, 0, 1, 3)  # (J, H, W, S) TTA tag channels
         ch, cw = out["canvas_size"]
         det = det[:, :ch, :cw]
-        tags = tags[:, :ch, :cw]
+        tags = tags[:, :ch, :cw, :]
         durations.append(time.perf_counter() - t0)
 
         grouped, scores = parser.parse(
