@@ -152,7 +152,7 @@ class NodeClassificationMPN(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
-                 edge_valid=None, joint_tags=None, train: bool = False):
+                 edge_valid=None, joint_tags=None, train: bool = False, **kwargs):
         c = self.mpn_cfg
         num_types = num_summary_types(c["NODE_TYPE_SUMMARY"], c["NUM_JOINTS"])
         types = sum_node_types(c["NODE_TYPE_SUMMARY"], node_types)
@@ -229,7 +229,7 @@ class VanillaMPN(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
-                 edge_valid=None, joint_tags=None, train: bool = False):
+                 edge_valid=None, joint_tags=None, train: bool = False, **kwargs):
         c = self.mpn_cfg
         edge_features = MLP(
             tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]), bn=c["BN"],
@@ -264,7 +264,7 @@ class JointTypeClassification(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
-                 edge_valid=None, joint_tags=None, train: bool = False):
+                 edge_valid=None, joint_tags=None, train: bool = False, **kwargs):
         c = self.mpn_cfg
         num_types = num_summary_types(c["NODE_TYPE_SUMMARY"], c["NUM_JOINTS"])
         types = sum_node_types(c["NODE_TYPE_SUMMARY"], node_types)
@@ -302,7 +302,7 @@ class NodeClassificationMPNTag(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
-                 edge_valid=None, joint_tags=None, train: bool = False):
+                 edge_valid=None, joint_tags=None, train: bool = False, **kwargs):
         c = self.mpn_cfg
         num_types = num_summary_types(c["NODE_TYPE_SUMMARY"], c["NUM_JOINTS"])
         types = sum_node_types(c["NODE_TYPE_SUMMARY"], node_types)
@@ -355,7 +355,7 @@ class TagThreshold(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
-                 edge_valid=None, joint_tags=None, train: bool = False):
+                 edge_valid=None, joint_tags=None, train: bool = False, **kwargs):
         return {
             "edge": [(edge_attr[:, 0] < 1.0).astype(jnp.float32)],
             "node": [None],
@@ -372,7 +372,7 @@ class PlainTag(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
-                 edge_valid=None, joint_tags=None, train: bool = False):
+                 edge_valid=None, joint_tags=None, train: bool = False, **kwargs):
         return {
             "edge": [edge_attr[:, 0]],
             "node": [None],
@@ -389,26 +389,36 @@ class LogisticEdgeClassifier(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
-                 edge_valid=None, joint_tags=None, train: bool = False):
+                 edge_valid=None, joint_tags=None, train: bool = False, **kwargs):
         logits = nn.Dense(1, dtype=self.dtype, name="linear")(edge_attr)[..., 0]
         return {"edge": [logits], "node": [None], "class": None, "tag": [None]}
 
 
 # names the reference factory resolves (MessagePassingNetwork/__init__.py:27-73);
-# architecturally-identical research ablations share an implementation
+# architecturally-identical research ablations share an implementation, the
+# genuinely distinct ones live in zoo.py
+def _zoo(name):
+    import pemp_tpu.models.mpn.zoo as zoo
+
+    return getattr(zoo, name)
+
+
 _MODELS = {
     "VanillaMPN": VanillaMPN,
     "VanillaMPN2": VanillaMPN,
-    "ClassificationMPN": NodeClassificationMPN,
+    "ClassificationMPN": lambda cfg, dtype: _zoo("ClassificationMPN")(cfg, dtype=dtype),
     "ClassificationMPNSimple": NodeClassificationMPN,
     "NodeClassificationMPN": NodeClassificationMPN,
+    # reference NodeClassificationMPNWithBackground.py is absent from the
+    # reference tree (broken import, SURVEY §3 caveat); the background
+    # behaviour is the flagship + WITH_BACKGROUND labels/losses
     "NodeClassificationMPNWithBackground": NodeClassificationMPN,
-    "NodeClassificationMPNTypeBased": NodeClassificationMPN,
-    "NodeClassificationMPNAttention": NodeClassificationMPN,
-    "NodeClassificationMPNSelfAttention": NodeClassificationMPN,
-    "NodeClassificationMPNWithRef": NodeClassificationMPN,
-    "NodeClassificationMPNFPConstrained": NodeClassificationMPN,
-    "NodeClassificationMPNTypeConstrained": NodeClassificationMPN,
+    "NodeClassificationMPNTypeBased": lambda cfg, dtype: _zoo("NodeClassificationMPNTypeBased")(cfg, dtype=dtype),
+    "NodeClassificationMPNAttention": lambda cfg, dtype: _zoo("NodeClassificationMPNAttention")(cfg, dtype=dtype),
+    "NodeClassificationMPNSelfAttention": lambda cfg, dtype: _zoo("NodeClassificationMPNSelfAttention")(cfg, dtype=dtype),
+    "NodeClassificationMPNWithRef": lambda cfg, dtype: _zoo("NodeClassificationMPNSimpleWithRef")(cfg, dtype=dtype),
+    "NodeClassificationMPNFPConstrained": lambda cfg, dtype: _zoo("NodeClassificationMPNFPConstrained")(cfg, dtype=dtype),
+    "NodeClassificationMPNTypeConstrained": lambda cfg, dtype: _zoo("NodeClassificationMPNTypeConstrained")(cfg, dtype=dtype),
     "NodeClassificationMPNGroupBased": NodeClassificationMPN,  # overridden below
     "JointTypeClassification": JointTypeClassification,
     "NodeClassificationMPNTag": NodeClassificationMPNTag,
@@ -450,7 +460,7 @@ class NodeClassificationMPNGroupBased(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
-                 edge_valid=None, joint_tags=None, train: bool = False):
+                 edge_valid=None, joint_tags=None, train: bool = False, **kwargs):
         c = self.mpn_cfg
         num_types = num_summary_types(c["NODE_TYPE_SUMMARY"], c["NUM_JOINTS"])
         types = sum_node_types(c["NODE_TYPE_SUMMARY"], node_types)

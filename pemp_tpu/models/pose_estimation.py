@@ -76,8 +76,13 @@ class PoseEstimationBaseline(nn.Module):
         features = self.feature_gather(features)
         return bb_out, scoremaps.astype(jnp.float32), features.astype(jnp.float32), tags.astype(jnp.float32)
 
-    def mpn_forward(self, gb, train: bool = False, with_logits: bool = True):
-        """Run the MPN on a constructed GraphBatch."""
+    def mpn_forward(self, gb, train: bool = False, with_logits: bool = True,
+                    feature_maps=None):
+        """Run the MPN on a constructed GraphBatch.
+
+        ``feature_maps``: raw backbone feature map for the SelfAttention
+        variant (reference kwarg plumbing: PoseEstimation.py:89-94).
+        """
         preds = self.mpn(
             gb.x,
             gb.edge_attr,
@@ -86,6 +91,9 @@ class PoseEstimationBaseline(nn.Module):
             node_valid=gb.node_valid,
             edge_valid=gb.edge_valid,
             joint_tags=gb.joint_tags,
+            node_labels=gb.node_labels,
+            batch_index=gb.batch_index,
+            feature_maps=feature_maps,
             train=train,
         )
         if not with_logits:
@@ -123,7 +131,9 @@ class PoseEstimationBaseline(nn.Module):
             rng=gc_rng,
             gt_heatmaps=heatmaps[-1] if (heatmaps is not None and self.gc.weight_class_loss) else None,
         )
-        preds = self.mpn_forward(gb, train=train, with_logits=with_logits)
+        preds = self.mpn_forward(
+            gb, train=train, with_logits=with_logits, feature_maps=features
+        )
 
         output = {
             "labels": {
