@@ -79,8 +79,10 @@ class HourglassBlock(nn.Module):
         low = _maxpool2(x)
         low = ConvBnRelu(nf, 3, bn=self.bn, dtype=self.dtype, name="low1")(low, train)
         if self.n > 1:
+            # nested blocks use the DEFAULT increase (128) regardless of the
+            # outer value — reference quirk: Layers.py:75 passes no increase
             low = HourglassBlock(
-                self.n - 1, nf, self.bn, self.increase, self.dtype, name="low2"
+                self.n - 1, nf, self.bn, 128, self.dtype, name="low2"
             )(low, train)
         else:
             low = ConvBnRelu(nf, 3, bn=self.bn, dtype=self.dtype, name="low2")(low, train)

@@ -187,6 +187,50 @@ def convert_mmpose_state_dict(sd, spec):
     return convert_hrnet_state_dict(renamed, spec)
 
 
+def convert_hourglass_state_dict(sd, nstack=4, depth=4):
+    """torch PoseNet (reference: Hourglass.py:39-76, Layers.py:44-88)
+    state_dict -> params for pemp_tpu.models.hourglass.PoseNet.
+
+    Only bias-conv layers (bn=False default config); pre indices skip the
+    MaxPool at pre.2.
+    """
+    params: dict = {}
+
+    def conv(flax_name, torch_prefix):
+        _put(params, (flax_name, "conv", "kernel"), _conv(sd[f"{torch_prefix}.weight"]))
+        _put(params, (flax_name, "conv", "bias"), sd[f"{torch_prefix}.bias"])
+
+    for flax_i, torch_i in zip(range(4), (0, 1, 3, 4)):
+        conv(f"pre_{flax_i}", f"pre.{torch_i}.conv")
+
+    def hg_block(tree, torch_prefix, n):
+        for name in ("up1", "low1", "low3"):
+            sub = tree.setdefault(name, {})
+            sub["conv"] = {
+                "kernel": _conv(sd[f"{torch_prefix}.{name}.conv.weight"]),
+                "bias": np.asarray(sd[f"{torch_prefix}.{name}.conv.bias"]),
+            }
+        low2 = tree.setdefault("low2", {})
+        if n > 1:
+            hg_block(low2, f"{torch_prefix}.low2", n - 1)
+        else:
+            low2["conv"] = {
+                "kernel": _conv(sd[f"{torch_prefix}.low2.conv.weight"]),
+                "bias": np.asarray(sd[f"{torch_prefix}.low2.conv.bias"]),
+            }
+
+    for i in range(nstack):
+        hg = params.setdefault(f"hg_{i}", {})
+        hg_block(hg, f"features.{i}.0", depth)
+        conv(f"feat_{i}_0", f"features.{i}.1.conv")
+        conv(f"feat_{i}_1", f"features.{i}.2.conv")
+        conv(f"outs_{i}", f"outs.{i}.conv")
+        if i != nstack - 1:
+            conv(f"merge_preds_{i}", f"merge_preds.{i}.conv.conv")
+            conv(f"merge_features_{i}", f"merge_features.{i}.conv.conv")
+    return params, {}
+
+
 def _convert_mlp(sd, prefix, num_layers, bn_flags):
     """reference _make_mlp Sequential -> our MLP module names (lin{i}/bn{i}).
 

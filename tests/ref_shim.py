@@ -240,6 +240,32 @@ def make_ref_label_constructor(
     return gc
 
 
+def load_ref_hourglass():
+    """Load the reference Hourglass backbone (reference: src/Models/
+    Hourglass/Hourglass.py:39-91, Layers.py:1-88) — plain torch + a cv2
+    import stub."""
+    install_shims()
+    if "cv2" not in sys.modules:
+        sys.modules["cv2"] = types.ModuleType("cv2")
+    if "Models.Hourglass" not in sys.modules:
+        mp = types.ModuleType("Models")
+        mp.__path__ = ["/root/reference/src/Models"]
+        mh = types.ModuleType("Models.Hourglass")
+        mh.__path__ = ["/root/reference/src/Models/Hourglass"]
+        sys.modules.setdefault("Models", mp)
+        sys.modules["Models.Hourglass"] = mh
+    for name in ("Layers", "Hourglass"):
+        full = f"Models.Hourglass.{name}"
+        if full not in sys.modules:
+            spec = importlib.util.spec_from_file_location(
+                full, f"/root/reference/src/Models/Hourglass/{name}.py"
+            )
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[full] = mod
+            spec.loader.exec_module(mod)
+    return sys.modules["Models.Hourglass.Hourglass"]
+
+
 def load_ref_losses():
     """Load the reference src/Utils/loss.py (reference: loss.py:1-936)."""
     install_shims()
