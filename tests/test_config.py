@@ -77,3 +77,21 @@ def test_expression_string_coerces():
     node = ConfigNode({"EDGE_INPUT_DIM": 19})
     node.merge_from_other({"EDGE_INPUT_DIM": "17 + 2"})
     assert node.EDGE_INPUT_DIM == 19
+
+
+def test_all_experiment_configs_load_and_build():
+    """Every YAML under configs/ must merge cleanly and resolve to a model."""
+    import glob
+
+    from pemp_tpu.models import build_pose_model
+    from pemp_tpu.models.mpn import get_mpn_model
+
+    from pemp_tpu.config import get_config, update_config
+
+    files = sorted(glob.glob("configs/**/*.yaml", recursive=True))
+    assert len(files) >= 20
+    for f in files:
+        cfg = get_config()
+        cfg = update_config(cfg, f)
+        get_mpn_model(cfg.MODEL.MPN)  # factory resolves
+        build_pose_model(cfg)  # composite builds
