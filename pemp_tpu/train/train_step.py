@@ -24,10 +24,15 @@ class TrainState:
     batch_stats: Any
     opt_state: Any
     step: Any
+    # running count of skipped (non-finite loss/grad) steps; the TPU analogue
+    # of the reference's oom_counter abort guard (reference: src/train.py:276-299)
+    fail_count: Any = 0
 
 
 jax.tree_util.register_dataclass(
-    TrainState, data_fields=["params", "batch_stats", "opt_state", "step"], meta_fields=[]
+    TrainState,
+    data_fields=["params", "batch_stats", "opt_state", "step", "fail_count"],
+    meta_fields=[],
 )
 
 
@@ -92,12 +97,27 @@ def make_train_step(model, loss_factory, tx, config):
         import optax
 
         new_params = optax.apply_updates(state.params, updates)
+
+        # skip the update on non-finite loss/grads and count the failure —
+        # the TPU-native form of the reference's catch-OOM-and-continue loop
+        # (reference: src/train.py:285-299). The GPU failure mode there is OOM;
+        # with static shapes ours is numeric blow-up, so guard on finiteness.
+        finite = jnp.isfinite(loss)
+        for g in jax.tree_util.tree_leaves(grads):
+            finite &= jnp.all(jnp.isfinite(g))
+
+        def _sel(new, old):
+            return jnp.where(finite, new, old) if hasattr(new, "shape") else new
+
         new_state = TrainState(
-            params=new_params,
-            batch_stats=new_stats,
-            opt_state=new_opt_state,
+            params=jax.tree_util.tree_map(_sel, new_params, state.params),
+            batch_stats=jax.tree_util.tree_map(_sel, new_stats, state.batch_stats),
+            opt_state=jax.tree_util.tree_map(_sel, new_opt_state, state.opt_state),
             step=state.step + 1,
+            fail_count=state.fail_count + (1 - finite.astype(jnp.int32)),
         )
+        logging = dict(logging)
+        logging["skipped"] = 1.0 - finite.astype(jnp.float32)
         return new_state, loss, logging
 
     return train_step

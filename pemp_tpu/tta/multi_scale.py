@@ -39,11 +39,17 @@ def _bucket(x: int, granularity: int = 128) -> int:
 
 
 class TTAPipeline:
-    """Host orchestration + cached per-bucket jitted device programs."""
+    """Host orchestration + cached per-bucket jitted device programs.
+
+    ``mesh``: optional 1-D ``data`` jax.sharding.Mesh — when given,
+    ``run_batched`` shards the image batch across its devices (eval fan-out;
+    SURVEY §2.3: the reference has no distributed eval at all).
+    """
 
     def __init__(self, model, variables, config, with_decode: bool = True,
-                 maps_only: bool = False):
+                 maps_only: bool = False, mesh=None):
         self.maps_only = maps_only  # aggregate heat/tags only (valid_hr path)
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
         self.model = model
         self.variables = variables
         self.config = config
@@ -364,7 +370,23 @@ class TTAPipeline:
                 out["person_valid"] = person_valid
             return out
 
-        fn = jax.jit(run)
+        if self.mesh is not None:
+            # eval fan-out: batch dim sharded over the data mesh axis — each
+            # device runs its slice of images through the whole pipeline
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bsh = NamedSharding(self.mesh, P("data"))
+            fn = jax.jit(
+                run,
+                in_shardings=(
+                    tuple(bsh for _ in range(n_scales)),
+                    tuple(bsh for _ in range(n_scales)),
+                    NamedSharding(self.mesh, P(None, "data")),
+                    bsh,
+                ),
+            )
+        else:
+            fn = jax.jit(run)
         self._batch_fns[key] = fn
         return fn
 
@@ -404,6 +426,12 @@ class TTAPipeline:
                 b = 1
                 while b < len(chunk):
                     b *= 2
+                if self.mesh is not None:
+                    # batch must divide evenly across the data axis
+                    n_dev = int(self.mesh.devices.size)
+                    b = max(b, n_dev)
+                    if b % n_dev:
+                        b = n_dev * (-(-b // n_dev))
                 filled = chunk + [chunk[-1]] * (b - len(chunk))
                 n_scales = len(sig[0])
                 padded_all, flipped_all = [], []

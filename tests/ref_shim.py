@@ -281,6 +281,118 @@ def load_ref_losses():
     return mod
 
 
+def install_mmcv_shim():
+    """Minimal pure-torch stand-ins for the mmcv.cnn surface the reference
+    mmpose package uses (reference: src/Models/HigherHRNet/mmpose/
+    backbone.py:2-3, resnet.py:3-4, keypoint_head.py:3-4)."""
+    if "mmcv" in sys.modules:
+        return
+
+    def build_conv_layer(cfg, *args, **kwargs):
+        assert cfg is None or cfg.get("type", "Conv2d") == "Conv2d", cfg
+        return torch.nn.Conv2d(*args, **kwargs)
+
+    def build_norm_layer(cfg, num_features, postfix=""):
+        cfg = dict(cfg or {"type": "BN"})
+        assert cfg.get("type", "BN") in ("BN", "BN2d", "SyncBN"), cfg
+        layer = torch.nn.BatchNorm2d(num_features)
+        requires_grad = cfg.get("requires_grad", True)
+        for p in layer.parameters():
+            p.requires_grad = requires_grad
+        return "bn" + str(postfix), layer
+
+    def build_upsample_layer(cfg, *args, **kwargs):
+        assert cfg.get("type") == "deconv", cfg
+        return torch.nn.ConvTranspose2d(*args, **kwargs)
+
+    def constant_init(module, val, bias=0):
+        if hasattr(module, "weight") and module.weight is not None:
+            torch.nn.init.constant_(module.weight, val)
+        if hasattr(module, "bias") and module.bias is not None:
+            torch.nn.init.constant_(module.bias, bias)
+
+    def normal_init(module, mean=0, std=1, bias=0):
+        torch.nn.init.normal_(module.weight, mean, std)
+        if hasattr(module, "bias") and module.bias is not None:
+            torch.nn.init.constant_(module.bias, bias)
+
+    def kaiming_init(
+        module, a=0, mode="fan_out", nonlinearity="relu", bias=0,
+        distribution="normal",
+    ):
+        if distribution == "normal":
+            torch.nn.init.kaiming_normal_(
+                module.weight, a=a, mode=mode, nonlinearity=nonlinearity
+            )
+        else:
+            torch.nn.init.kaiming_uniform_(
+                module.weight, a=a, mode=mode, nonlinearity=nonlinearity
+            )
+        if hasattr(module, "bias") and module.bias is not None:
+            torch.nn.init.constant_(module.bias, bias)
+
+    class ConvModule(torch.nn.Module):
+        """conv + optional BN + optional ReLU (imported by resnet.py but
+        not instantiated on the HRNet path; kept functional for safety)."""
+
+        def __init__(self, in_channels, out_channels, kernel_size, stride=1,
+                     padding=0, dilation=1, groups=1, bias="auto",
+                     conv_cfg=None, norm_cfg=None, act_cfg=None, **kwargs):
+            super().__init__()
+            if act_cfg is None:
+                act_cfg = dict(type="ReLU")
+            use_bias = bias if bias != "auto" else norm_cfg is None
+            self.conv = torch.nn.Conv2d(
+                in_channels, out_channels, kernel_size, stride=stride,
+                padding=padding, dilation=dilation, groups=groups, bias=use_bias,
+            )
+            self.bn = torch.nn.BatchNorm2d(out_channels) if norm_cfg else None
+            self.activate = torch.nn.ReLU(inplace=True) if act_cfg else None
+
+        def forward(self, x):
+            x = self.conv(x)
+            if self.bn is not None:
+                x = self.bn(x)
+            if self.activate is not None:
+                x = self.activate(x)
+            return x
+
+    mmcv = types.ModuleType("mmcv")
+    cnn = types.ModuleType("mmcv.cnn")
+    cnn.build_conv_layer = build_conv_layer
+    cnn.build_norm_layer = build_norm_layer
+    cnn.build_upsample_layer = build_upsample_layer
+    cnn.constant_init = constant_init
+    cnn.normal_init = normal_init
+    cnn.kaiming_init = kaiming_init
+    cnn.ConvModule = ConvModule
+    mmcv.cnn = cnn
+    sys.modules["mmcv"] = mmcv
+    sys.modules["mmcv.cnn"] = cnn
+
+
+def load_ref_mmpose():
+    """Load the reference mmpose package (reference: src/Models/HigherHRNet/
+    mmpose/) under an mmcv shim; returns the higher_hr_net module with
+    get_mmpose_hrnet/BottomUp."""
+    install_mmcv_shim()
+    pkg_dir = "/root/reference/src/Models/HigherHRNet/mmpose"
+    pkg = "ref_mmpose"
+    if pkg not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            pkg, f"{pkg_dir}/__init__.py", submodule_search_locations=[pkg_dir]
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[pkg] = mod
+        spec.loader.exec_module(mod)
+    full = f"{pkg}.higher_hr_net"
+    if full not in sys.modules:
+        import importlib as _il
+
+        _il.import_module(full)
+    return sys.modules[full]
+
+
 def load_ref_module(name: str, pkg: str = "ref_mpn"):
     """Load a reference MPN module by filename (no .py) under a fake package
     so its relative imports (.layers, .utils) resolve."""

@@ -93,6 +93,39 @@ def test_train_step_decreases_loss(model_and_batch):
     assert losses[-1] < losses[0] * 0.8, losses[::5]
 
 
+def test_nonfinite_step_is_skipped_and_counted(model_and_batch):
+    """NaN batch -> no parameter update, fail_count increments (the TPU
+    analogue of the reference's OOM-skip loop, src/train.py:285-299)."""
+    cfg, model, variables, batch = model_and_batch
+    loss_factory = ClassMultiLossFactory(cfg)
+    tx, _ = build_optimizer(cfg, variables["params"], steps_per_epoch=10**6)
+    step_fn = jax.jit(make_train_step(model, loss_factory, tx, cfg))
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.int32(0),
+        fail_count=jnp.int32(0),
+    )
+    bad = dict(batch)
+    bad["imgs"] = batch["imgs"].at[0, 0, 0, 0].set(jnp.nan)
+    new_state, loss, logging = step_fn(state, bad)
+    assert not np.isfinite(float(loss))
+    assert float(logging["skipped"]) == 1.0
+    assert int(new_state.fail_count) == 1
+    assert int(new_state.step) == 1
+    for b, a in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(new_state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    # a good batch still updates and does not increment the counter
+    new_state2, loss2, logging2 = step_fn(new_state, batch)
+    assert np.isfinite(float(loss2))
+    assert float(logging2["skipped"]) == 0.0
+    assert int(new_state2.fail_count) == 1
+
+
 def test_freeze_complete_keeps_backbone_fixed(model_and_batch):
     cfg, model, variables, batch = model_and_batch
     cfg2 = small_config()

@@ -68,6 +68,34 @@ def test_tta_portrait_orientation(tta_setup):
     assert bh > bw
 
 
+def test_run_batched_mesh_fanout_matches_single_device(tta_setup):
+    """Eval fan-out: an 8-device data mesh must produce the same outputs as
+    the unsharded path (conftest provisions 8 virtual CPU devices)."""
+    cfg, model, variables = tta_setup
+    from pemp_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    pipe_sharded = TTAPipeline(model, variables, cfg, mesh=mesh)
+    pipe_plain = TTAPipeline(model, variables, cfg)
+    rng = np.random.RandomState(3)
+    images = [
+        (rng.rand(180, 240, 3) * 255).astype(np.uint8) for _ in range(3)
+    ]
+    outs_s = pipe_sharded.run_batched(images, batch_size=8)
+    outs_p = pipe_plain.run_batched(images, batch_size=8)
+    for a, b in zip(outs_s, outs_p):
+        np.testing.assert_allclose(
+            np.asarray(a["scoremaps"]), np.asarray(b["scoremaps"]),
+            atol=2e-5, rtol=1e-4,
+        )
+        np.testing.assert_array_equal(np.asarray(a["nodes"]), np.asarray(b["nodes"]))
+        np.testing.assert_allclose(
+            np.asarray(a["persons"]), np.asarray(b["persons"]),
+            atol=1e-4, rtol=1e-4,
+        )
+
+
 def test_run_batched_matches_per_image(tta_setup):
     """run_batched (one-jit batched eval) must reproduce the per-image path."""
     cfg, model, variables = tta_setup

@@ -154,6 +154,7 @@ def main():
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
         step=jnp.int32(0),
+        fail_count=jnp.int32(0),
     )
     start_epoch = config.TRAIN.START_EPOCH
     ckpt_path = config.MODEL.PRETRAINED or os.path.join(log_dir, "pose_estimation.ckpt")
@@ -182,7 +183,12 @@ def main():
 
     end_epoch = args.epochs if args.epochs is not None else config.TRAIN.END_EPOCH
     print("#####Begin Training#####")
+    # abort after repeated failed (skipped non-finite) steps, mirroring the
+    # reference's oom_counter >= 5 stop (reference: src/train.py:276-299)
+    aborted = False
     for epoch in range(start_epoch, end_epoch):
+        if aborted:
+            break
         t_epoch = time.time()
         for i, batch in enumerate(loader_fn()):
             it = i + steps_per_epoch * epoch
@@ -193,10 +199,18 @@ def main():
             if i % config.PRINT_FREQ == 0:
                 logging = {k: float(v) for k, v in logging.items()}
                 loss = float(loss)
+                fail_count = int(np.asarray(state.fail_count).max())
                 logger.log_loss(loss, "Loss/train", it)
                 logger.log_vars("Loss/parts", it, **logging)
                 parts = " ".join(f"{k}:{v:.4f}" for k, v in logging.items())
                 print(f"Iter: {it}, loss: {loss:.6f} | {parts}")
+                if fail_count >= 5:
+                    print(
+                        "Stopping training due to large amount of failed "
+                        f"(non-finite) steps: {fail_count}"
+                    )
+                    aborted = True
+                    break
         save_checkpoint(ckpt_path, jax.device_get(state), epoch)
         if epoch + 1 in list(config.TRAIN.LR_STEP):
             save_checkpoint(f"{ckpt_path}.epoch{epoch}", jax.device_get(state), epoch)

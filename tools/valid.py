@@ -103,7 +103,17 @@ def main():
 
     cc_method = config.MODEL.GC.CC_METHOD
     on_device_decode = cc_method == "threshold"
-    pipe = TTAPipeline(model, variables, config, with_decode=on_device_decode)
+    # eval fan-out: shard the image batch across all local devices
+    # (SURVEY §2.3; the reference evaluates on a single GPU only)
+    mesh = None
+    if len(jax.devices()) > 1 and os.environ.get("EVAL_FANOUT", "1") != "0":
+        from pemp_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"eval fan-out over {mesh.devices.size} devices")
+    pipe = TTAPipeline(
+        model, variables, config, with_decode=on_device_decode, mesh=mesh
+    )
 
     anns, eval_ids = [], []
     dur_kpt, dur_constr = [], []
