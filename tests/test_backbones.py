@@ -7,6 +7,8 @@ from pemp_tpu.config import get_config
 from pemp_tpu.models.hourglass import PoseNet, hg_process_output
 from pemp_tpu.models.hrnet import HRNetSpec, PoseHigherResolutionNet, hr_process_output
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded by -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def hrnet_small():

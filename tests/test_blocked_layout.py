@@ -12,6 +12,8 @@ from pemp_tpu.ops.segment import (
     segment_aggregate,
 )
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded by -m 'not slow'
+
 
 def edge_set(edge_index, edge_valid):
     ei, ev = np.asarray(edge_index), np.asarray(edge_valid)

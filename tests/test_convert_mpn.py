@@ -20,6 +20,8 @@ from pemp_tpu.models.mpn import MLP, get_mpn_model
 from pemp_tpu.models.mpn.models import mpn_cfg_from_config
 from pemp_tpu.train.convert import _convert_mlp, convert_flagship_mpn_state_dict
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded by -m 'not slow'
+
 
 def reference_make_mlp(input_dim, hidden_dims, bn=False, end_with_relu=False):
     """torch twin of reference _make_mlp (layers.py:8-29)."""

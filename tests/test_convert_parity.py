@@ -15,9 +15,12 @@ import pytest
 REFERENCE = "/root/reference/src"
 torch = pytest.importorskip("torch")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REFERENCE), reason="reference checkout not available"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REFERENCE), reason="reference checkout not available"
+    ),
+    pytest.mark.slow,  # heavy compiles; excluded by -m 'not slow'
+]
 
 
 @pytest.fixture(scope="module")

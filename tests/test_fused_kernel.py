@@ -7,6 +7,8 @@ from pemp_tpu.models.mpn.layers import fused_tile_ok
 from pemp_tpu.ops.pallas.fused_typed_message import fused_typed_message_aggregate
 from pemp_tpu.ops.segment import blocked_per_type_attention_aggregate
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded by -m 'not slow'
+
 
 def jnp_reference(ef, a, types, valid, we, wa, n, t):
     d = a.shape[-1]

@@ -6,6 +6,8 @@ import pytest
 from pemp_tpu.graph import GCConfig, construct_graph_batch
 from pemp_tpu.ops import hungarian_numpy
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded by -m 'not slow'
+
 
 def make_scene(rng, j=4, h=48, w=48, people=2):
     """Synthetic scoremaps with known GT poses."""

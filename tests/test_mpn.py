@@ -6,6 +6,8 @@ import pytest
 from pemp_tpu.config import get_config, update_config
 from pemp_tpu.models.mpn import get_mpn_model, mpn_cfg_from_config
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded by -m 'not slow'
+
 
 def flagship_cfg():
     cfg = get_config()

@@ -14,6 +14,8 @@ import pytest
 from pemp_tpu.config import get_config, update_config
 from pemp_tpu.models.mpn import get_mpn_model
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded by -m 'not slow'
+
 
 def _cfg(name, **over):
     cfg = get_config()

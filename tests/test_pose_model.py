@@ -9,6 +9,8 @@ from pemp_tpu.losses import ClassMultiLossFactory
 from pemp_tpu.models.pose_estimation import build_pose_model
 from pemp_tpu.train import TrainState, build_optimizer, make_train_step
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded by -m 'not slow'
+
 
 def small_config():
     cfg = get_config()

@@ -17,6 +17,8 @@ from pemp_tpu.models.hourglass import PoseNet
 from pemp_tpu.train.convert import convert_hourglass_state_dict
 from ref_shim import load_ref_hourglass
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded by -m 'not slow'
+
 
 def test_hourglass_forward_parity():
     hg = load_ref_hourglass()

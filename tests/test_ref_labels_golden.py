@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from pemp_tpu.graph.constructor import GCConfig, _construct_labels
 from ref_shim import make_ref_label_constructor
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded by -m 'not slow'
+
 
 def _random_scene(rng, n_det=64, num_joints=17, max_people=4, hw=(128, 128),
                   crowded=False, fp_frac=0.4):

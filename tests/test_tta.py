@@ -7,6 +7,8 @@ from pemp_tpu.config import get_config, update_config
 from pemp_tpu.models import build_pose_model
 from pemp_tpu.tta import TTAPipeline
 
+pytestmark = pytest.mark.slow  # heavy compiles; excluded by -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def tta_setup():
