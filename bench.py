@@ -23,7 +23,36 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: the full pipeline takes minutes to
+# compile cold; cached recompiles are seconds (must be set pre-jax-import)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
+# Reference throughput estimate — derivation in BASELINE.md "Throughput
+# baseline derivation" (the reference publishes no speed numbers; this is an
+# estimate for its single-GPU per-image eval loop at w48/640 single-scale).
+# MFU is reported alongside as the auditable absolute number.
 REFERENCE_IMAGES_PER_SEC = 6.0
+
+# bf16 peak TFLOP/s per chip by TPU generation (public spec sheets)
+_TPU_PEAK_TFLOPS = {
+    "v4": 275.0,
+    "v5 lite": 197.0,
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v6 lite": 918.0,
+    "v6e": 918.0,
+}
+
+
+def _peak_tflops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in _TPU_PEAK_TFLOPS.items():
+        if key in kind:
+            return val
+    return None
 
 
 def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bfloat16"):
@@ -127,6 +156,12 @@ def main():
     data = jnp.asarray(rng.rand(*imgs.shape), jnp.float32)
     for _ in range(warmup):
         fetch(fn(data))
+    # size the measurement window to >=10s (or BENCH_ITERS if set)
+    t0 = time.perf_counter()
+    fetch(fn(data))
+    dt1 = time.perf_counter() - t0
+    if "BENCH_ITERS" not in os.environ and platform != "cpu":
+        iters = max(10, int(10.0 / max(dt1, 1e-3)))
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
@@ -135,6 +170,23 @@ def main():
     dt = time.perf_counter() - t0
 
     ips = batch_size * iters / dt
+
+    # MFU from XLA's own flop count for the compiled pipeline — the
+    # auditable absolute efficiency number (the 6.0 img/s denominator is an
+    # estimate; see BASELINE.md)
+    mfu = flops_per_img = None
+    try:
+        ca = fn.lower(data).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        total_flops = float(ca.get("flops", 0.0))
+        peak = _peak_tflops(jax.devices()[0])
+        if total_flops > 0:
+            flops_per_img = total_flops / batch_size
+            if peak:
+                mfu = (total_flops / (dt / iters)) / (peak * 1e12)
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        pass
     print(
         json.dumps(
             {
@@ -145,9 +197,12 @@ def main():
             }
         )
     )
+    extra = ""
+    if mfu is not None:
+        extra = f" mfu={mfu:.3f} gflops/img={flops_per_img / 1e9:.1f}"
     print(
         f"# platform={platform} batch={batch_size} iters={iters} "
-        f"total={dt:.2f}s",
+        f"total={dt:.2f}s{extra}",
         file=sys.stderr,
     )
 

@@ -63,6 +63,7 @@ class GCConfig:
     matcher: str = "auction"  # auction | greedy
     node_dropout: float = 0.0
     weight_class_loss: bool = False
+    image_centric: bool = False
 
     @classmethod
     def from_config(cls, config) -> "GCConfig":
@@ -93,6 +94,7 @@ class GCConfig:
             matcher="greedy" if config.TPU.MATCHER == "greedy" else "auction",
             node_dropout=gc.NODE_DROPOUT,
             weight_class_loss=gc.WEIGHT_CLASS_LOSS,
+            image_centric=bool(gc.IMAGE_CENTRIC_SAMPLING),
         )
 
 
@@ -544,6 +546,48 @@ def construct_graph_batch(
         per = jax.vmap(
             lambda d, s, v, f, t: per_image(d, s, v, f, t, None, None)
         )(det, scores, valid, features, tagmaps)
+
+    # image-centric sampling ablation: keep label-positive nodes + 3x as many
+    # random negatives, rebuild the kNN graph on the kept subset, relabel with
+    # method 4 (reference: ConstructGraph.py:182-204). The padded-static-shape
+    # form masks instead of slicing: dropped nodes become invalid and the
+    # edge set is rebuilt among kept nodes only.
+    if (
+        cfg.image_centric
+        and not testing
+        and joints_gt is not None
+        and rng is not None
+    ):
+        cfg4 = dataclasses.replace(cfg, edge_label_method=4)
+        ic_rngs = jax.random.split(jax.random.fold_in(rng, 2), b)
+
+        def ic_image(rng_i, det_i, scores_i, valid_i, features_i, tags_at_i,
+                     nl_i, joints_i, factors_i):
+            pos = valid_i & (nl_i == 1.0)
+            num_pos = jnp.sum(pos)
+            num_pos = jnp.where(num_pos == 0, 20, num_pos)
+            neg = valid_i & ~pos
+            r = jax.random.uniform(rng_i, (n,))
+            r = jnp.where(neg, r, jnp.inf)
+            order = jnp.argsort(r)
+            rank = jnp.zeros((n,), jnp.int32).at[order].set(
+                jnp.arange(n, dtype=jnp.int32)
+            )
+            keep = pos | (neg & (rank < 3 * num_pos))
+            node_feats = features_i[det_i[:, 1], det_i[:, 0]]
+            ei, ev = _build_edges(cfg4, det_i, keep, scores_i, node_feats)
+            ea = _edge_features(cfg4, det_i, scores_i, tags_at_i, ei, (h, w))
+            lab = _construct_labels(
+                cfg4, det_i, keep, ei, joints_i, factors_i, (h, w)
+            )
+            return dict(keep=keep, edge_index=ei, edge_valid=ev, edge_attr=ea, **lab)
+
+        ic = jax.vmap(ic_image)(
+            ic_rngs, det, scores, valid, features, per["tags_at"],
+            per["node_labels"], joints_gt, factors,
+        )
+        valid = ic.pop("keep")
+        per = dict(per, **ic)
 
     # flatten the batch into one disjoint graph (ConstructGraph.py:221-231)
     e = per["edge_index"].shape[-1]

@@ -31,7 +31,13 @@ import jax
 import jax.numpy as jnp
 
 from pemp_tpu.data.transforms import FLIP_CONFIG
-from pemp_tpu.geometry import get_affine_transform, get_multi_scale_size, warp_affine
+from pemp_tpu.geometry import (
+    get_affine_transform,
+    get_multi_scale_size,
+    get_multi_scale_size_hourglass,
+    get_scaling_type,
+    warp_affine,
+)
 
 
 def _bucket(x: int, granularity: int = 128) -> int:
@@ -65,9 +71,19 @@ class TTAPipeline:
         self.with_decode = with_decode
         self.node_threshold = config.MODEL.MPN.NODE_THRESHOLD
         # PROJECT2IMAGE: aggregate at full input resolution and reverse-map
-        # with "short_with_resize"; otherwise at scoremap (half) resolution
-        # with "short" (reference: valid.py:25-33)
+        # with "short_with_resize"; otherwise at scoremap resolution with
+        # "short" / "long" (reference: valid.py:25-33). SCALING_TYPE=long is
+        # the hourglass path (square max-side canvas, output at input/4;
+        # reference: PoseEstimationHourglass.py:111-147)
         self.project2image = bool(config.TEST.PROJECT2IMAGE)
+        self.scaling_long = config.DATASET.SCALING_TYPE == "long"
+        self.scaling_type_str = get_scaling_type(config)
+        self.size_fn = (
+            get_multi_scale_size_hourglass if self.scaling_long else get_multi_scale_size
+        )
+        # scoremap-resolution divisor: 2 for HigherHRNet (output at input/2),
+        # 4 for hourglass (output at input/4)
+        self.out_ratio = self.input_size / float(max(config.DATASET.OUTPUT_SIZE))
         self._scale_fns = {}
         self._head_fns = {}
         self._batch_fns = {}
@@ -76,13 +92,17 @@ class TTAPipeline:
     def _prepare(self, image: np.ndarray):
         """Resize per reference sizing; normalize; pad to buckets."""
         h, w = image.shape[:2]
-        base_size, center, scale = get_multi_scale_size(
-            h, w, self.input_size, 1.0, self.min_scale
+        # long (hourglass): the aggregation canvas is the largest scale's
+        # square input (reference: PoseEstimationHourglass.py:121-147 +
+        # transformations.py long_with_multiscale reverse map)
+        base_scale = max(self.scales) if self.scaling_long else 1.0
+        base_size, center, scale = self.size_fn(
+            h, w, self.input_size, base_scale, self.min_scale
         )
         base_w, base_h = base_size  # network-input space at scale min
         prepared = []
         for s in self.scales:
-            size_resized, _, sc = get_multi_scale_size(h, w, self.input_size, s, self.min_scale)
+            size_resized, _, sc = self.size_fn(h, w, self.input_size, s, self.min_scale)
             mat = get_affine_transform(center, sc, size_resized)
             img_r = warp_affine(image.astype(np.float32), mat, size_resized)
             if img_r.max() > 1.5:
@@ -404,7 +424,8 @@ class TTAPipeline:
             if self.project2image:
                 canvas_h, canvas_w = float(base_h), float(base_w)
             else:
-                canvas_h, canvas_w = base_h / 2.0, base_w / 2.0
+                canvas_h = base_h / self.out_ratio
+                canvas_w = base_w / self.out_ratio
             bh, bw = _bucket(int(canvas_h)), _bucket(int(canvas_w))
             sig = (
                 tuple(p["padded"].shape[:2] for p in prepared),
@@ -461,9 +482,7 @@ class TTAPipeline:
                     }
                     o["base_size"] = metas[idx]["base"]
                     o["canvas_size"] = sig[1]
-                    o["scaling_type"] = (
-                        "short_with_resize" if self.project2image else "short"
-                    )
+                    o["scaling_type"] = self.scaling_type_str
                     outs[idx] = o
         return outs
 
@@ -473,7 +492,8 @@ class TTAPipeline:
         if self.project2image:
             canvas_h, canvas_w = float(base_h), float(base_w)
         else:
-            canvas_h, canvas_w = base_h / 2.0, base_w / 2.0
+            canvas_h = base_h / self.out_ratio
+            canvas_w = base_w / self.out_ratio
         bh, bw = _bucket(int(canvas_h)), _bucket(int(canvas_w))
         heat_acc = feat_acc = tag_acc = None
         single_scale = len(self.scales) == 1
@@ -506,7 +526,7 @@ class TTAPipeline:
                        jnp.asarray([canvas_h, canvas_w], jnp.float32))
         out["base_size"] = (base_w, base_h)
         out["canvas_size"] = (int(canvas_h), int(canvas_w))
-        out["scaling_type"] = "short_with_resize" if self.project2image else "short"
+        out["scaling_type"] = self.scaling_type_str
         out["scoremaps"] = heat_acc
         out["tags"] = tag_acc
         return out

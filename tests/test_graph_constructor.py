@@ -196,3 +196,42 @@ def test_edge_features_position_connection(cfg):
         hot[det[s, 2]] = 1
         hot[det[d, 2]] = 1
         np.testing.assert_array_equal(ea[e, 2:], hot)
+
+
+def test_image_centric_sampling(cfg):
+    """Image-centric sampling (reference: ConstructGraph.py:182-204): keeps
+    all label positives plus <=3x random negatives, rebuilds edges among the
+    kept subset, relabels with method 4."""
+    import dataclasses
+
+    rng = np.random.RandomState(7)
+    sm, joints, factors = make_scene(rng)
+    ic_cfg = dataclasses.replace(cfg, image_centric=True)
+    j, h, w = sm.shape
+    scoremaps = jnp.asarray(sm.transpose(1, 2, 0))[None]
+    features = jnp.asarray(rng.rand(1, h, w, 8).astype(np.float32))
+    tagmaps = jnp.zeros((1, h, w, j))
+    jo, fo = pad_people(joints, factors)
+    gb = construct_graph_batch(
+        ic_cfg, scoremaps, features, tagmaps,
+        joints_gt=jnp.asarray(jo)[None], factors=jnp.asarray(fo)[None],
+        rng=jax.random.PRNGKey(0),
+    )
+    plain = construct_graph_batch(
+        cfg, scoremaps, features, tagmaps,
+        joints_gt=jnp.asarray(jo)[None], factors=jnp.asarray(fo)[None],
+        rng=jax.random.PRNGKey(0),
+    )
+    valid = np.asarray(gb.node_valid)
+    labels = np.asarray(gb.node_labels)
+    pos = valid & (labels == 1.0)
+    neg = valid & (labels != 1.0)
+    # every positive survives, negatives bounded by 3x positives
+    assert pos.sum() > 0
+    assert neg.sum() <= 3 * max(pos.sum(), 20)
+    # sampling strictly reduces the kept set vs the plain constructor
+    assert valid.sum() <= np.asarray(plain.node_valid).sum()
+    # edges only among kept nodes
+    ei = np.asarray(gb.edge_index)
+    ev = np.asarray(gb.edge_valid)
+    assert valid[ei[0][ev]].all() and valid[ei[1][ev]].all()

@@ -70,6 +70,44 @@ def test_tta_portrait_orientation(tta_setup):
     assert bh > bw
 
 
+def test_tta_long_scaling_hourglass():
+    """SCALING_TYPE=long (hourglass eval chain): square max-side canvas,
+    output at input/4, scaling_type 'long' for the reverse map
+    (reference: PoseEstimationHourglass.py:111-147, transformations.py)."""
+    cfg = get_config()
+    cfg = update_config(cfg, "configs/hybrid_class_agnostic_end2end/model_58_4.yaml")
+    cfg.defrost()
+    cfg.MODEL.KP = "hourglass"
+    cfg.MODEL.HG.NSTACK = 1
+    cfg.MODEL.HG.INPUT_DIM = 16
+    cfg.MODEL.HG.OUTPUT_DIM = 40
+    cfg.MODEL.KP_OUTPUT_DIM = 16
+    cfg.MODEL.MPN.STEPS = 2
+    cfg.MODEL.MPN.NODE_INPUT_DIM = 32
+    cfg.TPU.NODES_PER_TYPE = 4
+    cfg.TPU.KNN_K = 5
+    cfg.DATASET.SCALING_TYPE = "long"
+    cfg.DATASET.INPUT_SIZE = 128
+    cfg.DATASET.OUTPUT_SIZE = [32, 32, 32, 32]
+    cfg.TEST.SCALE_FACTOR = [1.0]
+    cfg.TEST.FLIP_TEST = True
+    cfg.TEST.PROJECT2IMAGE = False
+    cfg.TEST.WITH_REFINE = False
+    cfg.freeze()
+    model = build_pose_model(cfg)
+    img = jnp.zeros((1, 128, 128, 3))
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    pipe = TTAPipeline(model, variables, cfg)
+    image = (np.random.RandomState(4).rand(180, 240, 3) * 255).astype(np.uint8)
+    out = pipe(image)
+    assert out["scaling_type"] == "long"
+    # square canvas: max-side sizing gives a 128 square input -> 32 canvas
+    assert out["base_size"] == (128, 128)
+    assert out["canvas_size"] == (32, 32)
+    assert np.isfinite(np.asarray(out["scoremaps"])).all()
+    assert out["persons"].shape[1:] == (17, 3)
+
+
 def test_run_batched_mesh_fanout_matches_single_device(tta_setup):
     """Eval fan-out: an 8-device data mesh must produce the same outputs as
     the unsharded path (conftest provisions 8 virtual CPU devices)."""
