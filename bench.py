@@ -105,12 +105,20 @@ def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bf
             ev = sl_n(g["edge_valid"], i * e_per, e_per, 0)
             ep = sl_n(edge_pred, i * e_per, e_per, 0)
             cp = sl_n(class_prob, i * n_per_img, n_per_img, 0)
+            blocked = (
+                e_per // n_per_img
+                if cfg.MODEL.GC.GRAPH_TYPE == "knn"
+                and cfg.TPU.TARGET_MAJOR
+                and e_per % n_per_img == 0
+                else 0
+            )
             return decode_poses(
                 sm[i], tg[i], nodes, nscore, ei, ev, ep, nvalid,
                 node_threshold=node_threshold, num_joints=num_joints,
                 class_probs=cp,
                 with_refine=os.environ.get("BENCH_NO_REFINE") != "1",
                 with_adjust=True,
+                blocked_c=blocked,
             )
 
         persons, valid = jax.vmap(decode_one)(jnp.arange(b))

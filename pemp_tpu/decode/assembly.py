@@ -23,11 +23,16 @@ from pemp_tpu.ops.components import connected_components, relabel_compact
 
 
 def cluster_threshold(edge_index, edge_valid, edge_pred, num_nodes, node_keep,
-                      threshold: float = 0.8):
-    """Connected components over confident edges between kept nodes."""
-    src, dst = edge_index[0], edge_index[1]
-    ev = edge_valid & node_keep[src] & node_keep[dst] & (edge_pred > threshold)
-    labels = connected_components(edge_index, ev, num_nodes, node_keep)
+                      threshold: float = 0.8, blocked_c: int = 0):
+    """Connected components over confident edges between kept nodes.
+
+    Node masking happens inside ``connected_components`` (scatter-free on the
+    blocked layout); here only the edge-confidence filter is applied.
+    """
+    ev = edge_valid & (edge_pred > threshold)
+    labels = connected_components(
+        edge_index, ev, num_nodes, node_keep, blocked_c=blocked_c
+    )
     return labels
 
 
@@ -209,18 +214,22 @@ def decode_poses(
     with_adjust: bool = True,
     with_filter: bool = False,
     cluster_labels=None,
+    blocked_c: int = 0,
 ):
     """Full on-device decode: threshold -> cluster -> assemble -> refine -> adjust.
 
     reference pred_to_ann: Utils.py:1445-1478 (everything before
     reverse_affine_map). Pass ``cluster_labels`` to use an externally computed
     clustering (e.g. C++ GAEC) instead of the on-device threshold CC.
+    ``blocked_c``: target-major blocked slot count (enables the scatter-free
+    clustering path; see ops.components.connected_components).
     """
     n = joint_det.shape[0]
     node_keep = node_valid & (node_scores > node_threshold)
     if cluster_labels is None:
         cluster_labels = cluster_threshold(
-            edge_index, edge_valid, edge_pred, n, node_keep, cc_threshold
+            edge_index, edge_valid, edge_pred, n, node_keep, cc_threshold,
+            blocked_c=blocked_c,
         )
     persons, person_valid = persons_from_clusters(
         joint_det, node_scores, cluster_labels, node_keep, num_joints,

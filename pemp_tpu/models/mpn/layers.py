@@ -278,10 +278,18 @@ class MPLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, edge_attr, edge_index, node_types=None, edge_valid=None):
+    def __call__(self, x, edge_attr, edge_index, node_types=None, edge_valid=None,
+                 pre=None):
         num_nodes = x.shape[0]
         j, i = edge_index[0], edge_index[1]  # message flows j -> i
-        x_i, x_j = x[i], x[j]
+        if self.blocked_c:
+            # blocked layout: target index is statically slot // C
+            i = jnp.repeat(jnp.arange(num_nodes, dtype=edge_index.dtype), self.blocked_c)
+            x_i = jnp.repeat(x, self.blocked_c, axis=0)
+        else:
+            x_i = x[i]
+        x_j = x[j]
+        pre = pre or {}
 
         if self.edge_mlp == "agnostic":
             h = jnp.concatenate([x_i, x_j, edge_attr], axis=-1)
@@ -290,9 +298,15 @@ class MPLayer(nn.Module):
             h = nn.Dense(self.edge_feature_dim, dtype=self.dtype, name="mlp_edge_1")(h)
             new_edge = nn.relu(h)
         elif self.edge_mlp == "per_type":
+            dst_type = pre.get("dst_type")
+            src_type = pre.get("src_type")
+            if dst_type is None:
+                dst_type = node_types[i]
+            if src_type is None:
+                src_type = node_types[j]
             new_edge = TypeAwareEdgeUpdate(
                 self.num_types, self.edge_feature_hidden, dtype=self.dtype, name="mlp_edge"
-            )(x_i, x_j, edge_attr, node_types[i], node_types[j])
+            )(x_i, x_j, edge_attr, dst_type, src_type)
         else:
             raise NotImplementedError(self.edge_mlp)
 
@@ -330,11 +344,27 @@ class TypeAwareMPNLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, edge_attr, edge_index, node_types, edge_valid=None):
+    def __call__(self, x, edge_attr, edge_index, node_types, edge_valid=None,
+                 pre=None):
+        """``pre``: optional dict of loop-invariant precomputations hoisted
+        out of the scanned step (src_type, dst_type, src_type2d, valid2d) —
+        the gathers/layout casts are identical every step, so recomputing
+        them inside the scan body wastes ~40% of the MPN's device time."""
         num_nodes = x.shape[0]
         j, i = edge_index[0], edge_index[1]
-        x_i, x_j = x[i], x[j]
-        src_type = node_types[j]
+        if self.blocked_c:
+            # target-major blocked layout: edge_index[1] == slot // C by
+            # construction (ops.knn.knn_edges_target_major), so the target
+            # gather is a static repeat — no data-dependent gather op
+            i = jnp.repeat(jnp.arange(num_nodes, dtype=edge_index.dtype), self.blocked_c)
+            x_i = jnp.repeat(x, self.blocked_c, axis=0)
+        else:
+            x_i = x[i]
+        x_j = x[j]
+        pre = pre or {}
+        src_type = pre.get("src_type")
+        if src_type is None:
+            src_type = node_types[j]
 
         if self.edge_mlp == "agnostic":
             h = jnp.concatenate([x_i, x_j, edge_attr], axis=-1)
@@ -343,9 +373,12 @@ class TypeAwareMPNLayer(nn.Module):
             h = nn.Dense(self.edge_feature_dim, dtype=self.dtype, name="mlp_edge_1")(h)
             new_edge = nn.relu(h)
         elif self.edge_mlp in ("per_type", "per_type_2"):
+            dst_type = pre.get("dst_type")
+            if dst_type is None:
+                dst_type = node_types[i]
             new_edge = TypeAwareEdgeUpdate(
                 self.num_types, self.edge_feature_hidden, dtype=self.dtype, name="mlp_edge"
-            )(x_i, x_j, edge_attr, node_types[i], node_types[j])
+            )(x_i, x_j, edge_attr, dst_type, src_type)
         else:
             raise NotImplementedError(self.edge_mlp)
 
@@ -376,11 +409,16 @@ class TypeAwareMPNLayer(nn.Module):
             we_flat = jnp.transpose(we, (1, 0, 2)).reshape(
                 new_edge.shape[-1], self.num_types * self.node_feature_dim
             )
-            ev = edge_valid if edge_valid is not None else jnp.ones(
-                new_edge.shape[0], bool
-            )
+            kt = pre.get("src_type2d")
+            kv = pre.get("valid2d")
+            if kt is None:
+                kt = src_type
+            if kv is None:
+                kv = edge_valid if edge_valid is not None else jnp.ones(
+                    new_edge.shape[0], bool
+                )
             updates = fused_typed_message_aggregate(
-                new_edge.astype(self.dtype), a, src_type, ev,
+                new_edge.astype(self.dtype), a, kt, kv,
                 we_flat, jnp.asarray(ak, self.dtype),
                 num_nodes, self.num_types,
                 interpret=self.pallas_interpret,

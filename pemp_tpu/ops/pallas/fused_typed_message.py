@@ -48,14 +48,16 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
     hot = (types == t_iota)
     hot_f = hot.astype(jnp.float32)
 
+    # one (nbc, De) @ (De, T*D) dot — a single wide MXU matmul instead of T
+    # small ones — then per-slot type selection with cheap VPU masking
+    b_all = jax.lax.dot_general(
+        ef, we_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (nbc, T*D)
     b_sel = jnp.zeros((nbc, d), jnp.float32)
     for ti in range(t):
-        bt = jax.lax.dot_general(
-            ef, we_ref[:, ti * d:(ti + 1) * d],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        b_sel = b_sel + hot_f[:, ti:ti + 1] * bt
+        b_sel = b_sel + hot_f[:, ti:ti + 1] * b_all[:, ti * d:(ti + 1) * d]
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbt), 1)
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbt), 0)
@@ -180,17 +182,20 @@ def _bwd_kernel(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, g_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                      # (nbc, De)
-    for ti in range(t):
-        dpre_t = dpre * hot_f[:, ti:ti + 1]
-        dwe_ref[:, ti * d:(ti + 1) * d] += jax.lax.dot_general(
-            ef, dpre_t, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dwe_ref.dtype)
-        def_acc = def_acc + jax.lax.dot_general(
-            dpre_t, we_ref[:, ti * d:(ti + 1) * d],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    # block-expand dpre by type (VPU masking), then two wide MXU dots
+    # replace the per-type dot loop: dwe += ef^T dpre_aug; def += dpre_aug we^T
+    dpre_aug = jnp.concatenate(
+        [dpre * hot_f[:, ti:ti + 1] for ti in range(t)], axis=1
+    )                                      # (nbc, T*D)
+    dwe_ref[:] += jax.lax.dot_general(
+        ef, dpre_aug, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dwe_ref.dtype)
+    def_acc = def_acc + jax.lax.dot_general(
+        dpre_aug, we_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     def_ref[:] = def_acc.astype(def_ref.dtype)
 
     dwa = jax.lax.dot_general(
@@ -284,8 +289,8 @@ def _fused_bwd_rule(num_nodes, num_types, node_tile, interpret, res, g):
     )(
         edge_feats,
         a.reshape(num_nodes * num_types, d),
-        types.astype(jnp.int32).reshape(num_nodes * c, 1),
-        valid.astype(jnp.int32).reshape(num_nodes * c, 1),
+        _as_col_i32(types, num_nodes * c),
+        _as_col_i32(valid, num_nodes * c),
         we,
         w_attn,
         g.astype(jnp.float32).reshape(num_nodes * num_types, d),
@@ -331,9 +336,17 @@ def _fused_forward(
     )(
         edge_feats,
         a.reshape(num_nodes * num_types, d),
-        types.astype(jnp.int32).reshape(num_nodes * c, 1),
-        valid.astype(jnp.int32).reshape(num_nodes * c, 1),
+        _as_col_i32(types, num_nodes * c),
+        _as_col_i32(valid, num_nodes * c),
         we,
         w_attn,
     )
     return out.reshape(num_nodes, num_types, d)
+
+
+def _as_col_i32(x, rows):
+    """(E,) -> (E, 1) int32; passes pre-shaped (E, 1) int32 through untouched
+    so callers can hoist the layout conversion out of a scan loop."""
+    if x.ndim == 2 and x.dtype == jnp.int32:
+        return x
+    return x.astype(jnp.int32).reshape(rows, 1)

@@ -40,6 +40,21 @@ from pemp_tpu.geometry import (
 )
 
 
+def _blocked_c(cfg, num_edges: int, num_nodes: int) -> int:
+    """Target-major blocked slot count for the decode fast path (0 = generic).
+
+    Only the knn+target_major builder guarantees edge_index[1] == slot // C;
+    every other graph type must use the generic scatter path.
+    """
+    if (
+        cfg.MODEL.GC.GRAPH_TYPE == "knn"
+        and bool(cfg.TPU.TARGET_MAJOR)
+        and num_edges % num_nodes == 0
+    ):
+        return num_edges // num_nodes
+    return 0
+
+
 def _bucket(x: int, granularity: int = 128) -> int:
     return int(-(-x // granularity) * granularity)
 
@@ -237,6 +252,9 @@ class TTAPipeline:
                     with_fill_mean=cfg.TEST.FILL_MEAN,
                     with_refine=cfg.TEST.WITH_REFINE,
                     with_adjust=cfg.TEST.ADJUST,
+                    blocked_c=_blocked_c(
+                        cfg, gb.edge_index.shape[1], gb.joint_det.shape[0]
+                    ),
                 )
                 out["persons"] = persons
                 out["person_valid"] = person_valid
@@ -383,6 +401,7 @@ class TTAPipeline:
                         with_fill_mean=cfg.TEST.FILL_MEAN,
                         with_refine=cfg.TEST.WITH_REFINE,
                         with_adjust=cfg.TEST.ADJUST,
+                        blocked_c=_blocked_c(cfg, e_per, n_per),
                     )
 
                 persons, person_valid = jax.vmap(decode_one)(jnp.arange(b))

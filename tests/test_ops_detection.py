@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,3 +117,20 @@ def test_type_blocked_layout():
     types = np.asarray(det[0, :, 2])
     want = np.repeat(np.arange(17), k)
     np.testing.assert_array_equal(types, want)
+
+
+def test_blocked_top_k_exact():
+    """blocked_top_k must match lax.top_k exactly (values and indices),
+    including tie-breaking by lowest index, at shapes that split into blocks
+    and shapes that fall back to the plain path."""
+    from pemp_tpu.ops.detection import blocked_top_k
+
+    rng = np.random.RandomState(0)
+    for n, block in [(8192, 2048), (100, 2048), (4096, 1024)]:
+        x = rng.rand(3, 5, n).astype(np.float32)
+        # inject ties spanning block boundaries
+        x[..., : n // 2] = np.round(x[..., : n // 2], 1)
+        sv, iv = jax.lax.top_k(jnp.asarray(x), 40)
+        sb, ib = blocked_top_k(jnp.asarray(x), 40, block=block)
+        np.testing.assert_array_equal(np.asarray(sv), np.asarray(sb))
+        np.testing.assert_array_equal(np.asarray(iv), np.asarray(ib))

@@ -102,3 +102,23 @@ def test_connected_components_long_chain():
         )
     )
     assert (labels == 0).all()
+
+
+def test_connected_components_blocked_matches_generic():
+    """The scatter-free blocked adjacency path must label identically to the
+    generic scatter path on a real target-major kNN edge set."""
+    from pemp_tpu.ops.components import connected_components
+    from pemp_tpu.ops.knn import knn_edges_target_major
+
+    rng = np.random.RandomState(11)
+    n, k, cap = 96, 6, 6
+    pos = jnp.asarray(rng.rand(n, 2).astype(np.float32) * 50)
+    valid = jnp.asarray(rng.rand(n) > 0.2)
+    ei, ev = knn_edges_target_major(pos, valid, k, cap)
+    c = ei.shape[1] // n
+    # random confident-edge subset, some invalid nodes
+    ev = ev & jnp.asarray(rng.rand(ei.shape[1]) > 0.4)
+    keep = valid & jnp.asarray(rng.rand(n) > 0.25)
+    generic = connected_components(ei, ev, n, keep)
+    blocked = connected_components(ei, ev, n, keep, blocked_c=c)
+    np.testing.assert_array_equal(np.asarray(generic), np.asarray(blocked))
