@@ -155,17 +155,39 @@ def _build_edges(cfg: GCConfig, det, valid, scores, node_feats):
 
 
 def _edge_features(cfg: GCConfig, det, scores, tags_at_det, edge_index, hw):
-    """reference: ConstructGraph.py:288-359"""
-    src, dst = edge_index[0], edge_index[1]
-    x, y, t = det[:, 0], det[:, 1], det[:, 2]
-    norm = float(max(hw)) if cfg.norm_node_distance else 1.0
+    """reference: ConstructGraph.py:288-359
 
-    dx = (x[dst] - x[src]).astype(jnp.float32) / norm
-    dy = (y[dst] - y[src]).astype(jnp.float32) / norm
+    All per-node attributes are packed into one wide f32 row and gathered
+    once per endpoint: N narrow s32 gathers cost ~3ms each at flagship
+    shapes on TPU, while a single wide row gather costs ~0.3ms.
+    """
+    src, dst = edge_index[0], edge_index[1]
+    norm = float(max(hw)) if cfg.norm_node_distance else 1.0
+    j = cfg.num_joints
+
+    tags2d = tags_at_det if tags_at_det.ndim == 2 else tags_at_det[:, None]
+    # packed row: [x, y, one_hot(type) (J), score, tags (S)]
+    row = jnp.concatenate(
+        [
+            det[:, :2].astype(jnp.float32),
+            jax.nn.one_hot(det[:, 2], j, dtype=jnp.float32),
+            scores[:, None].astype(jnp.float32),
+            tags2d.astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+    rs = row[src]
+    rd = row[dst]
+    xs, ys, xd, yd = rs[:, 0], rs[:, 1], rd[:, 0], rd[:, 1]
+    hot_s, hot_d = rs[:, 2:2 + j], rd[:, 2:2 + j]
+    score_s = rs[:, 2 + j]
+    tag_s, tag_d = rs[:, 3 + j:], rd[:, 3 + j:]
+
+    dx = (xd - xs) / norm
+    dy = (yd - ys) / norm
 
     e = edge_index.shape[1]
-    conn = jax.nn.one_hot(t[src], cfg.num_joints) + jax.nn.one_hot(t[dst], cfg.num_joints)
-    conn = jnp.clip(conn, 0.0, 1.0)
+    conn = jnp.clip(hot_s + hot_d, 0.0, 1.0)
     # same-type edges get a single hot at that type (reference sets the same
     # position twice -> stays 1); clip keeps that semantics for distinct types
 
@@ -179,8 +201,8 @@ def _edge_features(cfg: GCConfig, det, scores, tags_at_det, edge_index, hw):
     if feats == {"nothing"}:
         return jnp.zeros((e, 1), jnp.float32)
     if feats == {"position", "angle", "connection_type"}:
-        ax = (x[src] - x[dst]).astype(jnp.float32)
-        ay = (y[src] - y[dst]).astype(jnp.float32)
+        ax = xs - xd
+        ay = ys - yd
         denom = jnp.sqrt(ax * ax + ay * ay)
         theta = jnp.abs(jnp.arccos(jnp.where(denom > 0, ax / jnp.maximum(denom, 1e-12), 1.0)))
         theta = jnp.where(denom > 0, theta, 0.0)
@@ -188,16 +210,15 @@ def _edge_features(cfg: GCConfig, det, scores, tags_at_det, edge_index, hw):
     # AE distances are vector norms over the tag channel dim (multi-scale/
     # flip TTA concatenates tag channels — reference ConstructGraph.py:336-357
     # `.norm(p=None, dim=1)` over possibly multi-dim joint tags)
-    tags2d = tags_at_det if tags_at_det.ndim == 2 else tags_at_det[:, None]
 
     def tag_dist():
-        diff = tags2d[dst] - tags2d[src]
+        diff = tag_d - tag_s
         return jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
 
     if feats == {"ae"}:
         return tag_dist()[:, None]
     if feats == {"ae_normed"}:
-        d = jnp.round(tag_dist()) * 100.0 - scores[src]
+        d = jnp.round(tag_dist()) * 100.0 - score_s
         return d[:, None]
     if feats == {"ae_tracking_1"}:
         t_a = 1.8425

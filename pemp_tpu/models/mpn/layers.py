@@ -355,11 +355,8 @@ class TypeAwareMPNLayer(nn.Module):
         if self.blocked_c:
             # target-major blocked layout: edge_index[1] == slot // C by
             # construction (ops.knn.knn_edges_target_major), so the target
-            # gather is a static repeat — no data-dependent gather op
+            # side never needs a data-dependent gather
             i = jnp.repeat(jnp.arange(num_nodes, dtype=edge_index.dtype), self.blocked_c)
-            x_i = jnp.repeat(x, self.blocked_c, axis=0)
-        else:
-            x_i = x[i]
         x_j = x[j]
         pre = pre or {}
         src_type = pre.get("src_type")
@@ -367,15 +364,39 @@ class TypeAwareMPNLayer(nn.Module):
             src_type = node_types[j]
 
         if self.edge_mlp == "agnostic":
-            h = jnp.concatenate([x_i, x_j, edge_attr], axis=-1)
-            h = nn.Dense(self.edge_feature_hidden, dtype=self.dtype, name="mlp_edge_0")(h)
-            h = nn.relu(h)
+            if self.blocked_c:
+                # split the concat-matmul: the x_i part collapses to one
+                # node-level dot broadcast over each node's C slots — the
+                # E-level x_i copy (100+MB/step) never materializes. Params
+                # stay a single Dense("mlp_edge_0") for checkpoint parity.
+                dn = x.shape[-1]
+                da = edge_attr.shape[-1]
+                k0, b0 = _DenseParams(
+                    2 * dn + da, self.edge_feature_hidden, name="mlp_edge_0"
+                )()
+                k0 = jnp.asarray(k0, self.dtype)
+                b0 = jnp.asarray(b0, self.dtype)
+                h_node = x.astype(self.dtype) @ k0[:dn] + b0          # (N, H)
+                h_edge = (
+                    x_j.astype(self.dtype) @ k0[dn:2 * dn]
+                    + edge_attr.astype(self.dtype) @ k0[2 * dn:]
+                )                                                     # (E, H)
+                h = h_edge.reshape(num_nodes, self.blocked_c, -1) + h_node[:, None]
+                h = nn.relu(h.reshape(h_edge.shape))
+            else:
+                x_i = x[i]
+                h = jnp.concatenate([x_i, x_j, edge_attr], axis=-1)
+                h = nn.Dense(self.edge_feature_hidden, dtype=self.dtype, name="mlp_edge_0")(h)
+                h = nn.relu(h)
             h = nn.Dense(self.edge_feature_dim, dtype=self.dtype, name="mlp_edge_1")(h)
             new_edge = nn.relu(h)
         elif self.edge_mlp in ("per_type", "per_type_2"):
             dst_type = pre.get("dst_type")
             if dst_type is None:
                 dst_type = node_types[i]
+            x_i = (
+                jnp.repeat(x, self.blocked_c, axis=0) if self.blocked_c else x[i]
+            )
             new_edge = TypeAwareEdgeUpdate(
                 self.num_types, self.edge_feature_hidden, dtype=self.dtype, name="mlp_edge"
             )(x_i, x_j, edge_attr, dst_type, src_type)

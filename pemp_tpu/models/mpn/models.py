@@ -139,7 +139,15 @@ def _run_steps(parent, mpn_cfg, num_types, skip, steps, node_features, edge_feat
         dst_type = jnp.repeat(node_types, blocked_c, axis=0)
     else:
         dst_type = node_types[i]
-    src_type = node_types[j]
+    npt = mpn_cfg.get("_NODES_PER_TYPE", 0)
+    if npt:
+        # type-blocked detections: type(n) == (n // K) mod J — index
+        # arithmetic instead of a (slow) s32 gather; summarization applied
+        # to the derived raw types matches node_types exactly
+        raw = (j // npt) % mpn_cfg["NUM_JOINTS"]
+        src_type = sum_node_types(mpn_cfg["NODE_TYPE_SUMMARY"], raw)
+    else:
+        src_type = node_types[j]
     e = src_type.shape[0]
     pre = {
         "src_type": src_type,

@@ -199,6 +199,13 @@ def build_pose_model(config, dtype=jnp.float32) -> PoseEstimationBaseline:
         n_nodes = gc.num_joints * gc.nodes_per_type
         k_eff = min(gc.knn_k, max(n_nodes - 1, 1))
         mpn_cfg["_BLOCKED_C"] = k_eff + gc.knn_cap_in
+        if not gc.use_gt:
+            # detections are type-blocked (type(n) == (n // K) mod J), so
+            # per-edge source types are pure index arithmetic — a TPU s32
+            # gather of E elements costs ~3ms at flagship shapes, the
+            # arithmetic is free. USE_GT swaps in person-major GT nodes,
+            # which breaks the blocked-type identity.
+            mpn_cfg["_NODES_PER_TYPE"] = gc.nodes_per_type
         import jax as _jax
 
         use_pallas = True

@@ -1,3 +1,9 @@
+from pemp_tpu.parallel.eval_shard import (
+    cleanup_parts,
+    merge_parts,
+    shard_indices,
+    write_part,
+)
 from pemp_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -9,9 +15,13 @@ from pemp_tpu.parallel.mesh import (
 
 __all__ = [
     "batch_sharding",
+    "cleanup_parts",
     "make_mesh",
+    "merge_parts",
     "replicate",
     "replicated",
     "shard_batch",
+    "shard_indices",
     "shard_train_step",
+    "write_part",
 ]

@@ -152,3 +152,29 @@ def test_rle_roundtrip_uncompressed():
 def test_segmentation_dispatch():
     m = segmentation_to_mask([[0, 0, 4, 0, 4, 4, 0, 4]], 8, 8)
     assert m.sum() > 0
+
+
+def test_multihost_eval_sharding(tmp_path):
+    """shard_indices covers every image exactly once across processes;
+    write_part/merge_parts round-trips annotations in process order."""
+    from pemp_tpu.parallel import cleanup_parts, merge_parts, shard_indices, write_part
+
+    n, pc = 103, 4
+    all_idx = sorted(sum((shard_indices(n, pc, p) for p in range(pc)), []))
+    assert all_idx == list(range(n))
+    assert shard_indices(n, 1, 0) == list(range(n))
+    # balanced within one image
+    sizes = [len(shard_indices(n, pc, p)) for p in range(pc)]
+    assert max(sizes) - min(sizes) <= 1
+
+    for p in range(pc):
+        anns = [[{"image_id": i, "score": 0.5}] for i in shard_indices(n, pc, p)]
+        write_part(str(tmp_path), "eval_test", p, anns, shard_indices(n, pc, p))
+    anns, ids = merge_parts(str(tmp_path), "eval_test", pc)
+    assert sorted(ids) == list(range(n))
+    assert len(anns) == n
+    got = sorted(a[0]["image_id"] for a in anns)
+    assert got == list(range(n))
+    cleanup_parts(str(tmp_path), "eval_test", pc)
+    import os
+    assert not any("part" in f for f in os.listdir(tmp_path))

@@ -119,6 +119,13 @@ def main():
     dur_kpt, dur_constr = [], []
     n = len(eval_set) if args.max_images is None else min(args.max_images, len(eval_set))
     num_joints = config.DATASET.NUM_JOINTS
+    # multi-host sharding: each process evaluates an interleaved slice and
+    # writes a partial-results file; process 0 merges after a barrier
+    # (SURVEY §2.3 — the reference evaluates single-GPU only)
+    from pemp_tpu.parallel import shard_indices
+
+    pc, pi = jax.process_count(), jax.process_index()
+    my_indices = shard_indices(n, pc, pi)
     # device batching: images are loaded in windows, grouped by padded-shape
     # signature inside run_batched, and processed as one jit per batch —
     # the reference evaluates batch=1 in python (reference: valid.py:94-135)
@@ -126,8 +133,8 @@ def main():
     batch_size = int(os.environ.get("EVAL_BATCH", 8))
 
     def iter_outputs():
-        for w0 in range(0, n, window):
-            idxs = list(range(w0, min(w0 + window, n)))
+        for w0 in range(0, len(my_indices), window):
+            idxs = my_indices[w0:w0 + window]
             images = []
             for i in idxs:
                 img_id = int(eval_set.img_ids[i])
@@ -201,6 +208,21 @@ def main():
             anns.append(ann)
         if (i + 1) % 50 == 0:
             print(f"{i + 1}/{n} images, {np.mean(dur_kpt[-50:]):.3f}s/img fwd")
+
+    if pc > 1:
+        # multi-host gather: every process writes its part to the shared log
+        # dir; a device barrier orders the writes before host 0 merges
+        from jax.experimental import multihost_utils
+
+        from pemp_tpu.parallel import cleanup_parts, merge_parts, write_part
+
+        stem = f"eval_{split}"
+        write_part(config.LOG_DIR, stem, pi, anns, eval_ids)
+        multihost_utils.sync_global_devices("eval_parts_written")
+        if pi != 0:
+            return
+        anns, eval_ids = merge_parts(config.LOG_DIR, stem, pc)
+        cleanup_parts(config.LOG_DIR, stem, pc)
 
     if split == "test-dev2017":
         from pemp_tpu.eval.coco_eval import coco_eval as _  # noqa: F401
