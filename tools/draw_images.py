@@ -24,6 +24,11 @@ def main():
     p.add_argument("--config", required=True)
     p.add_argument("--out", default="tmp/draws")
     p.add_argument("--max-images", type=int, default=8)
+    p.add_argument(
+        "--detail", action="store_true",
+        help="also write cluster / node-label / edge-confidence overlays "
+        "(reference draw_images_coco.py detail modes)",
+    )
     args, options = p.parse_known_args()
 
     import jax
@@ -79,6 +84,35 @@ def main():
         ch, cw = out["canvas_size"]
         canvas = np.full((ch, cw, 3), 0.3, np.float32)
         draw_detections(canvas, det, valid, os.path.join(args.out, f"{img_id}_det.png"))
+        if args.detail:
+            # detail modes (reference: draw_images_coco.py:154-175): cluster
+            # coloring, node-classification dots, edge-confidence overlays
+            from pemp_tpu.decode.assembly import cluster_threshold
+            from pemp_tpu.utils.vis import (
+                draw_detection_classification_result,
+                draw_detection_with_cluster,
+                draw_edges_conf,
+                draw_inter_person_edge_conf,
+            )
+
+            labels = np.asarray(cluster_threshold(
+                jnp.asarray(out["edge_index"]), jnp.asarray(out["edge_valid"]),
+                jnp.asarray(out["edge_pred"]), len(det), jnp.asarray(valid),
+            ))
+            stem = os.path.join(args.out, f"{img_id}")
+            nscore = np.asarray(out["node_scores"])
+            ei = np.asarray(out["edge_index"])
+            ep = np.asarray(out["edge_pred"])
+            nj = config.DATASET.NUM_JOINTS
+            draw_detection_with_cluster(canvas, det, labels, valid, stem, nj)
+            draw_detection_classification_result(
+                canvas, det, nscore > 0.5, valid, stem
+            )
+            draw_edges_conf(canvas, det, labels, nscore, ei, ep, valid, stem)
+            for t in (0, 3, 4):
+                draw_inter_person_edge_conf(
+                    canvas, det, labels, nscore, ei, ep, valid, t, stem, nj
+                )
         print(f"{img_id}: {len(persons)} persons -> {args.out}")
 
 
