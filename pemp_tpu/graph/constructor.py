@@ -166,22 +166,33 @@ def _edge_features(cfg: GCConfig, det, scores, tags_at_det, edge_index, hw):
     j = cfg.num_joints
 
     tags2d = tags_at_det if tags_at_det.ndim == 2 else tags_at_det[:, None]
-    # packed row: [x, y, one_hot(type) (J), score, tags (S)]
-    row = jnp.concatenate(
-        [
-            det[:, :2].astype(jnp.float32),
-            jax.nn.one_hot(det[:, 2], j, dtype=jnp.float32),
-            scores[:, None].astype(jnp.float32),
-            tags2d.astype(jnp.float32),
-        ],
-        axis=-1,
-    )
+    feats = set(cfg.edge_features)
+    need_tags = bool(feats & {"ae", "ae_normed", "ae_tracking_1"})
+    # packed row: [x, y] (+ type one-hot when not index-derivable)
+    # (+ score, tags for the ae modes)
+    cols = [det[:, :2].astype(jnp.float32)]
+    if cfg.use_gt:
+        # GT-as-detections is person-major — types must ride the gather
+        cols.append(jax.nn.one_hot(det[:, 2], j, dtype=jnp.float32))
+    if need_tags:
+        cols.append(scores[:, None].astype(jnp.float32))
+        cols.append(tags2d.astype(jnp.float32))
+    row = jnp.concatenate(cols, axis=-1) if len(cols) > 1 else cols[0]
     rs = row[src]
     rd = row[dst]
     xs, ys, xd, yd = rs[:, 0], rs[:, 1], rd[:, 0], rd[:, 1]
-    hot_s, hot_d = rs[:, 2:2 + j], rd[:, 2:2 + j]
-    score_s = rs[:, 2 + j]
-    tag_s, tag_d = rs[:, 3 + j:], rd[:, 3 + j:]
+    if cfg.use_gt:
+        hot_s, hot_d = rs[:, 2:2 + j], rd[:, 2:2 + j]
+        off = 2 + j
+    else:
+        # type-blocked detections: type(n) == n // K — free index arithmetic
+        # instead of widening every edge gather by J one-hot columns
+        hot_s = jax.nn.one_hot(src // cfg.nodes_per_type, j, dtype=jnp.float32)
+        hot_d = jax.nn.one_hot(dst // cfg.nodes_per_type, j, dtype=jnp.float32)
+        off = 2
+    if need_tags:
+        score_s = rs[:, off]
+        tag_s, tag_d = rs[:, off + 1:], rd[:, off + 1:]
 
     dx = (xd - xs) / norm
     dy = (yd - ys) / norm

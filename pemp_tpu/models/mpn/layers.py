@@ -381,8 +381,9 @@ class TypeAwareMPNLayer(nn.Module):
                     x_j.astype(self.dtype) @ k0[dn:2 * dn]
                     + edge_attr.astype(self.dtype) @ k0[2 * dn:]
                 )                                                     # (E, H)
-                h = h_edge.reshape(num_nodes, self.blocked_c, -1) + h_node[:, None]
-                h = nn.relu(h.reshape(h_edge.shape))
+                # repeat-add instead of reshape-add: the (E,H)->(N,C,H)
+                # reshape forces a column-major relayout copy (~0.7ms/step)
+                h = nn.relu(h_edge + jnp.repeat(h_node, self.blocked_c, axis=0))
             else:
                 x_i = x[i]
                 h = jnp.concatenate([x_i, x_j, edge_attr], axis=-1)

@@ -42,7 +42,11 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
     ef = ef_ref[:]                        # (nbc, De)
     types = types_ref[:]                  # (nbc, 1) int32
     valid = valid_ref[:]                  # (nbc, 1) int32
-    a = a_ref[:].astype(jnp.float32)      # (nbt, D)
+    # the one-hot selection matmul keeps the input's precision: with bf16
+    # inputs (the model path) the 0/1 selection runs at 4x the f32 MXU rate
+    # and is exact w.r.t. the bf16 values; f32 inputs keep the f32 dot
+    sel_dt = jnp.bfloat16 if a_ref.dtype == jnp.bfloat16 else jnp.float32
+    a = a_ref[:].astype(sel_dt)           # (nbt, D)
 
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, t), 1)
     hot = (types == t_iota)
@@ -66,7 +70,7 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
     slot_n = slot_iota // c
     sel = (row_n == slot_n) & (row_t == types)  # (nbc, nbt)
     a_sel = jax.lax.dot_general(
-        sel.astype(jnp.float32), a,
+        sel.astype(sel_dt), a,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                      # (nbc, D)
