@@ -204,27 +204,30 @@ def knn_edges_target_major(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
 
     # slot each kept forward edge into its *target's* B-region by rank.
     # lax.sort carries the payload through the sort (argsort + apply-gathers
-    # cost ~4ms/batch on TPU), and the per-group rank comes from a running
-    # max over group-start positions instead of a count/cumsum/gather chain.
+    # cost ~4ms/batch on TPU); after the sort each target's edges form a
+    # contiguous run, so the dense (n, cap_in) B-region is one row-windowed
+    # gather from the sorted list — no scatters at all.
     tgt = jnp.where(fwd_keep, fwd_dst, n)  # park dropped at n
     tgt_sorted, src_sorted = lax.sort((tgt, fwd_src), dimension=0, is_stable=True, num_keys=1)
-    idx = jnp.arange(tgt_sorted.shape[0], dtype=jnp.int32)
-    change = jnp.concatenate(
-        [jnp.ones((1,), bool), tgt_sorted[1:] != tgt_sorted[:-1]]
+    nodes = jnp.arange(n, dtype=jnp.int32)
+    counts = jnp.sum(
+        (tgt_sorted[None, :] == nodes[:, None]).astype(jnp.int32), axis=1
+    )                                                    # (n,)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
     )
-    group_start = lax.associative_scan(jnp.maximum, jnp.where(change, idx, 0))
-    rank = idx - group_start
-    ok_b = (tgt_sorted < n) & (rank < cap_in)
-    slot = jnp.where(ok_b, tgt_sorted * c + k + rank, n * c)
+    r_iota = jnp.arange(cap_in, dtype=jnp.int32)
+    pos = starts[:, None] + r_iota[None, :]              # (n, cap)
+    valid_b = r_iota[None, :] < jnp.minimum(counts, cap_in)[:, None]
+    src_b = jnp.where(
+        valid_b,
+        src_sorted[jnp.clip(pos, 0, tgt_sorted.shape[0] - 1)],
+        0,
+    )                                                    # (n, cap)
 
-    src_b = jnp.full((n * c + 1,), 0, jnp.int32).at[slot].set(
-        jnp.where(ok_b, src_sorted, 0), mode="drop"
-    )[: n * c]
-    valid_b_flat = jnp.zeros((n * c + 1,), bool).at[slot].set(ok_b, mode="drop")[: n * c]
-
-    # assemble: A-region slots i*C..i*C+k, B-region from the scatter above
-    edge_src = src_b.reshape(n, c).at[:, :k].set(src_a).reshape(-1)
-    edge_valid = valid_b_flat.reshape(n, c).at[:, :k].set(valid_a).reshape(-1)
+    # assemble: A-region slots i*C..i*C+k, B-region columns k..C
+    edge_src = jnp.concatenate([src_a, src_b], axis=1).reshape(-1)
+    edge_valid = jnp.concatenate([valid_a, valid_b], axis=1).reshape(-1)
     edge_dst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), c)
     return jnp.stack([edge_src, edge_dst]), edge_valid
 

@@ -34,9 +34,14 @@ _NEG = -1e30
 
 def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
                   *, nb, c, t, d):
-    """Shared per-tile math: returns (m, w, ok, hot_f, pre) where
-    m (nbc, D) typed messages, w (nbt, nbc) softmax weights, ok the group
-    mask, hot_f (nbc, T) type one-hot, pre the pre-ReLU activations."""
+    """Shared per-tile math with a *factored* softmax: exp is taken per slot
+    against a tile-level max (softmax is shift-invariant, so any common
+    shift is exact up to fp underflow), and the per-(node,type) normalisation
+    happens after one fused numerator+denominator matmul. This avoids
+    materialising any (nbt, nbc) score/weight matrix.
+
+    Returns (ef, m, e_col, den, out, ok_f, hot_f, pre).
+    """
     nbc = nb * c
     nbt = nb * t
     ef = ef_ref[:]                        # (nbc, De)
@@ -76,13 +81,24 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
     )                                      # (nbc, D)
 
     pre = a_sel + b_sel
-    m = jax.nn.relu(pre)
+    m = jax.nn.relu(pre)                   # (nbc, D)
 
     attn_row = jax.lax.dot_general(
         wa_ref[:], ef,
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                      # (heads, nbc)
+    # MXU-transpose (1, nbc) -> (nbc, 1)
+    attn_col = jax.lax.dot_general(
+        attn_row[:1], jnp.ones((1, 1), jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (nbc, 1)
+    valid_f = valid.astype(jnp.float32)    # (nbc, 1)
+    attn_m = attn_col + (1.0 - valid_f) * _NEG
+    mx = jnp.max(attn_m)                   # tile-level shift (scalar)
+    mx = jnp.where(mx <= _NEG / 2, 0.0, mx)
+    e_col = jnp.exp(attn_m - mx) * valid_f  # (nbc, 1)
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (nbt, nbc), 0)
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (nbt, nbc), 1)
@@ -94,79 +110,60 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)
-    valid_row = jax.lax.dot_general(
-        jnp.ones((nbt, 1), jnp.float32), valid.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    ok = (rn == sn) & (type_row == rt) & (valid_row > 0)
-    attn_b = jax.lax.dot_general(
-        jnp.ones((nbt, 1), jnp.float32), attn_row[:1],
+    ok = (rn == sn) & (type_row == rt)
+    ok_f = ok.astype(jnp.float32)          # (nbt, nbc); validity lives in e_col
+
+    # fused numerator + denominator: one (nbt, nbc) @ (nbc, D+1) dot
+    nd = jax.lax.dot_general(
+        ok_f, jnp.concatenate([m * e_col, e_col], axis=1),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    scores = jnp.where(ok, attn_b, _NEG)
-    mx = jnp.max(scores, axis=1, keepdims=True)
-    mx = jnp.where(mx <= _NEG / 2, 0.0, mx)
-    e = jnp.exp(scores - mx) * ok.astype(jnp.float32)
-    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
-    w = e / denom                          # (nbt, nbc)
-    return ef, m, w, ok, hot_f, pre
+    )                                      # (nbt, D+1)
+    num, den = nd[:, :d], nd[:, d:d + 1]
+    out = num / jnp.maximum(den, 1e-16)
+    return ef, m, e_col, den, out, ok_f, hot_f, pre
 
 
 def _kernel(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, out_ref,
             *, nb, c, t, d):
-    _, m, w, _, _, _ = _tile_forward(
+    out = _tile_forward(
         ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, nb=nb, c=c, t=t, d=d
-    )
-    out = jax.lax.dot_general(
-        w, m, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                      # (nbt, D)
+    )[4]
     out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, g_ref,
                 def_ref, da_ref, dwe_ref, dwa_ref, *, nb, c, t, d):
-    """Backward tile: recomputes the forward residuals in VMEM, then
+    """Backward tile in the factored-softmax form (w[r,s] = ok·e_s/den_r):
 
-        dm      = w^T g            (per-slot message cotangent)
+        ghat    = g / den                    per-row scaled cotangent
+        q       = <g, out> / den             per-row scalar
+        [t1 t2] = ok^T [ghat q]              one fused matmul
+        dm      = e * t1                     message cotangent
         dpre    = dm * 1[pre > 0]
-        v       = rowsum(m * (ok^T g))        per-slot logit value
-        S       = w v                          per-row weighted value
-        dlogit  = colsum(w) * (v - ok^T S)     softmax backward
+        dlogit  = rowsum(dm * m) - e * t2    softmax backward
         da      = ok dpre
         dwe_t  += ef^T (dpre * hot_t)
         def     = sum_t hot_t * (dpre @ we_t^T) + dlogit * wa^T
         dwa    += ef^T dlogit
     """
-    ef, m, w, ok, hot_f, pre = _tile_forward(
+    ef, m, e_col, den, out, ok_f, hot_f, pre = _tile_forward(
         ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, nb=nb, c=c, t=t, d=d
     )
     g = g_ref[:].astype(jnp.float32)       # (nbt, D)
-    ok_f = ok.astype(jnp.float32)          # (nbt, nbc)
+    deninv = 1.0 / jnp.maximum(den, 1e-16)  # (nbt, 1)
+    ghat = g * deninv                       # (nbt, D)
+    q = jnp.sum(g * out, axis=1, keepdims=True) * deninv   # (nbt, 1)
 
-    dm = jax.lax.dot_general(
-        w, g, dimension_numbers=(((0,), (0,)), ((), ())),
+    tq = jax.lax.dot_general(
+        ok_f, jnp.concatenate([ghat, q], axis=1),
+        dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                      # (nbc, D)
+    )                                      # (nbc, D+1)
+    t1, t2 = tq[:, :d], tq[:, d:d + 1]
+    dm = e_col * t1                         # (nbc, D)
     dpre = dm * (pre > 0).astype(jnp.float32)
-
-    g_sel = jax.lax.dot_general(
-        ok_f, g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                      # (nbc, D)
-    v = jnp.sum(m * g_sel, axis=1, keepdims=True)          # (nbc, 1)
-    s_row = jax.lax.dot_general(
-        w, v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                      # (nbt, 1)
-    s_sel = jax.lax.dot_general(
-        ok_f, s_row, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                      # (nbc, 1)
-    wcol = jnp.sum(w, axis=0)[:, None]     # (nbc, 1) — one nonzero per column
-    dlogit = wcol * (v - s_sel)            # (nbc, 1)
+    dlogit = jnp.sum(dm * m, axis=1, keepdims=True) - e_col * t2   # (nbc, 1)
 
     da = jax.lax.dot_general(
         ok_f, dpre, dimension_numbers=(((1,), (0,)), ((), ())),

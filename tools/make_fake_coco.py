@@ -20,14 +20,22 @@ def main():
     p.add_argument("--images", type=int, default=8)
     p.add_argument("--mode", default="val")
     p.add_argument("--size", type=int, default=256)
+    p.add_argument(
+        "--flavor", default="coco", choices=["coco", "testdev", "ochuman"],
+        help="coco: person_keypoints_<mode>2017; testdev: image_info JSON + "
+        "test2017 dir (submission path); ochuman: OCHuman-format JSON + images/",
+    )
     args = p.parse_args()
 
     from PIL import Image
 
     from pemp_tpu.data.synthetic import random_scene, render_image
 
+    img_dir = {
+        "coco": f"{args.mode}2017", "testdev": "test2017", "ochuman": "images"
+    }[args.flavor]
     os.makedirs(f"{args.root}/annotations", exist_ok=True)
-    os.makedirs(f"{args.root}/{args.mode}2017", exist_ok=True)
+    os.makedirs(f"{args.root}/{img_dir}", exist_ok=True)
     rng = np.random.RandomState(0)
     images, annotations = [], []
     aid = 1
@@ -37,7 +45,7 @@ def main():
         img = render_image(kps, args.size, rng)
         fname = f"{i:012d}.jpg"
         Image.fromarray((img * 255).astype(np.uint8)).save(
-            f"{args.root}/{args.mode}2017/{fname}"
+            f"{args.root}/{img_dir}/{fname}"
         )
         images.append({"id": i, "width": w, "height": h, "file_name": fname})
         for kp, area in zip(kps, areas):
@@ -62,12 +70,26 @@ def main():
                 }
             )
             aid += 1
-    ds = {
-        "images": images,
-        "annotations": annotations,
-        "categories": [{"id": 1, "name": "person"}],
-    }
-    with open(f"{args.root}/annotations/person_keypoints_{args.mode}2017.json", "w") as f:
+    if args.flavor == "testdev":
+        # submission path: image-info only, no annotations
+        # (reference: CocoKeypoints_test.py)
+        ds = {"images": images, "categories": [{"id": 1, "name": "person"}]}
+        out = f"{args.root}/annotations/image_info_test-dev2017.json"
+    elif args.flavor == "ochuman":
+        ds = {
+            "images": images,
+            "annotations": annotations,
+            "categories": [{"id": 1, "name": "person"}],
+        }
+        out = f"{args.root}/ochuman_coco_format_val_range_0.00_1.00.json"
+    else:
+        ds = {
+            "images": images,
+            "annotations": annotations,
+            "categories": [{"id": 1, "name": "person"}],
+        }
+        out = f"{args.root}/annotations/person_keypoints_{args.mode}2017.json"
+    with open(out, "w") as f:
         json.dump(ds, f)
     print(f"wrote {args.images} images to {args.root}")
 

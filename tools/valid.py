@@ -81,9 +81,10 @@ def main():
             transforms=None, filter_empty=False,
         )
     elif split in ("ochuman_valid", "ochuman_test"):
-        eval_set = OCHumans(
-            config.DATASET.ROOT, mode=split.split("_")[1], transforms=None
-        )
+        # reference maps ochuman_valid -> mode "val" (valid.py:71-78), which
+        # selects ochuman_coco_format_val_range_0.00_1.00.json
+        mode = "val" if split == "ochuman_valid" else "test"
+        eval_set = OCHumans(config.DATASET.ROOT, mode=mode, transforms=None)
     else:
         raise NotImplementedError(split)
 
