@@ -68,6 +68,7 @@ def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bf
     cfg.defrost()
     cfg.DATASET.INPUT_SIZE = input_size
     cfg.DATASET.OUTPUT_SIZE = [input_size // 4, input_size // 2]
+    cfg.TPU.COLLECT_AUX = False  # eval-only: skip aux-step stacks/heads
     if os.environ.get("BENCH_CAP_IN"):
         cfg.TPU.KNN_CAP_IN = int(os.environ["BENCH_CAP_IN"])
     if os.environ.get("BENCH_STEPS"):

@@ -242,6 +242,10 @@ _C.TPU.COMPUTE_DTYPE = "bfloat16"
 _C.TPU.MESH_DATA = -1            # -1: all devices on the data axis
 _C.TPU.MATCHER = "hungarian"     # label matching: hungarian | greedy
 _C.TPU.DECODE_ON_DEVICE = True   # grouping/refine/adjust inside jit
+# collect per-step MPN outputs at inference (needed for aux losses in the
+# train loop's validation; pure-eval entries disable it to skip ~570MB of
+# per-step stack writes and the aux head passes)
+_C.TPU.COLLECT_AUX = True
 
 
 def get_config():

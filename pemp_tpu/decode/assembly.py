@@ -135,12 +135,22 @@ def refine_ae(scoremaps, tagmaps, persons, person_valid):
         / cnt[:, None]
     )  # (P, S)
 
+    # flat y*w+x index grid: argmax without the (J, H*W) reshape, whose
+    # layout conversion costs ~2ms/batch inside the chunk loop
+    iota_yx = (
+        jnp.arange(h, dtype=jnp.int32)[:, None] * w
+        + jnp.arange(w, dtype=jnp.int32)[None, :]
+    )
+
     def per_person(mtag):
         diff = tagmaps - mtag[None, None, None, :]   # (J, H, W, S)
         tt = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
         tmp2 = scoremaps - jnp.round(tt)
-        flat = tmp2.reshape(j, h * w)
-        idx = jnp.argmax(flat, axis=1)
+        amax = jnp.max(tmp2, axis=(1, 2), keepdims=True)
+        # ties resolve to the lowest flat index, matching argmax-over-flat
+        idx = jnp.min(
+            jnp.where(tmp2 >= amax, iota_yx[None], h * w), axis=(1, 2)
+        )
         yy, xx = idx // w, idx % w
         val = scoremaps[ptypes, yy, xx]
         x = xx.astype(jnp.float32) + 0.5

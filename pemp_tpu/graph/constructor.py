@@ -179,16 +179,29 @@ def _edge_features(cfg: GCConfig, det, scores, tags_at_det, edge_index, hw):
         cols.append(tags2d.astype(jnp.float32))
     row = jnp.concatenate(cols, axis=-1) if len(cols) > 1 else cols[0]
     rs = row[src]
-    rd = row[dst]
+    # target-major blocked layout: dst == slot // C — the target-side lookup
+    # is a static repeat, halving the per-edge gather row count (TPU gathers
+    # cost ~4.5ns/row regardless of width)
+    n_nodes = row.shape[0]
+    e_total = edge_index.shape[1]
+    if (
+        cfg.graph_type == "knn"
+        and cfg.target_major
+        and e_total % n_nodes == 0
+    ):
+        rd = jnp.repeat(row, e_total // n_nodes, axis=0)
+    else:
+        rd = row[dst]
     xs, ys, xd, yd = rs[:, 0], rs[:, 1], rd[:, 0], rd[:, 1]
     if cfg.use_gt:
         hot_s, hot_d = rs[:, 2:2 + j], rd[:, 2:2 + j]
         off = 2 + j
     else:
-        # type-blocked detections: type(n) == n // K — free index arithmetic
-        # instead of widening every edge gather by J one-hot columns
-        hot_s = jax.nn.one_hot(src // cfg.nodes_per_type, j, dtype=jnp.float32)
-        hot_d = jax.nn.one_hot(dst // cfg.nodes_per_type, j, dtype=jnp.float32)
+        # type-blocked detections: type(n) == (n // K) mod J — free index
+        # arithmetic instead of widening every edge gather by J one-hot
+        # columns; the mod makes it hold for flat batch ids too (N = J*K)
+        hot_s = jax.nn.one_hot((src // cfg.nodes_per_type) % j, j, dtype=jnp.float32)
+        hot_d = jax.nn.one_hot((dst // cfg.nodes_per_type) % j, j, dtype=jnp.float32)
         off = 2
     if need_tags:
         score_s = rs[:, off]
@@ -549,9 +562,11 @@ def construct_graph_batch(
         node_feats = features_i[det_i[:, 1], det_i[:, 0]]  # (N, C)
         tags_i_at = tagmaps_i[det_i[:, 1], det_i[:, 0], det_i[:, 2]]
         edge_index, edge_valid = _build_edges(cfg, det_i, valid_i, scores_i, node_feats)
-        edge_attr = _edge_features(cfg, det_i, scores_i, tags_i_at, edge_index, (h, w))
+        # edge features are computed once on the flattened batch graph below:
+        # gathers inside this vmap lower to the slow batched-gather path
+        # (~2ms each at flagship shapes vs ~0.5ms flat)
         out = dict(
-            x=node_feats, edge_attr=edge_attr, edge_index=edge_index,
+            x=node_feats, edge_index=edge_index,
             edge_valid=edge_valid, tags_at=tags_i_at,
         )
         if joints_i is not None:
@@ -608,11 +623,10 @@ def construct_graph_batch(
             keep = pos | (neg & (rank < 3 * num_pos))
             node_feats = features_i[det_i[:, 1], det_i[:, 0]]
             ei, ev = _build_edges(cfg4, det_i, keep, scores_i, node_feats)
-            ea = _edge_features(cfg4, det_i, scores_i, tags_at_i, ei, (h, w))
             lab = _construct_labels(
                 cfg4, det_i, keep, ei, joints_i, factors_i, (h, w)
             )
-            return dict(keep=keep, edge_index=ei, edge_valid=ev, edge_attr=ea, **lab)
+            return dict(keep=keep, edge_index=ei, edge_valid=ev, **lab)
 
         ic = jax.vmap(ic_image)(
             ic_rngs, det, scores, valid, features, per["tags_at"],
@@ -630,9 +644,16 @@ def construct_graph_batch(
         return x.reshape((-1,) + x.shape[2:])
 
     batch_index = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+    # edge features on the flat disjoint graph: the edge order is image-major
+    # with each image's slots target-major, so flat slot s targets node s // C
+    # and all per-image identities carry over
+    edge_attr = _edge_features(
+        cfg, det.reshape(b * n, 3), scores.reshape(b * n),
+        flat(per["tags_at"]), edge_index, (h, w),
+    )
     gb = GraphBatch(
         x=flat(per["x"]),
-        edge_attr=flat(per["edge_attr"]),
+        edge_attr=edge_attr,
         edge_index=edge_index,
         joint_det=det.reshape(b * n, 3),
         joint_scores=scores.reshape(b * n),

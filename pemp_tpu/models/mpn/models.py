@@ -73,6 +73,7 @@ class _StepBody(nn.Module):
     num_types: int
     skip: bool
     dtype: Any = jnp.float32
+    collect: bool = True  # stack per-step outputs (needed for aux losses)
 
     @nn.compact
     def __call__(self, carry, static):
@@ -121,11 +122,12 @@ class _StepBody(nn.Module):
                 name="layer",
             )(nf, ef, edge_index, node_types, edge_valid, pre=pre)
 
-        return (new_nodes, new_edges), (new_nodes, new_edges)
+        ys = (new_nodes, new_edges) if self.collect else None
+        return (new_nodes, new_edges), ys
 
 
 def _run_steps(parent, mpn_cfg, num_types, skip, steps, node_features, edge_features,
-               edge_index, node_types, edge_valid, dtype, name):
+               edge_index, node_types, edge_valid, dtype, name, collect=True):
     """Scan the shared-weight step; returns per-step (nodes, edges) stacks.
 
     Loop-invariant inputs (edge index, per-edge source/target types and the
@@ -170,9 +172,10 @@ def _run_steps(parent, mpn_cfg, num_types, skip, steps, node_features, edge_feat
         split_rngs={"params": False},
         in_axes=nn.broadcast,
         length=steps,
-    )(mpn_cfg, num_types, skip, dtype, name=name, parent=parent)
+    )(mpn_cfg, num_types, skip, dtype, collect, name=name, parent=parent)
     carry = (node_features, edge_features)
-    carry, (node_stack, edge_stack) = scanned(carry, static)
+    carry, ys = scanned(carry, static)
+    node_stack, edge_stack = ys if collect else (None, None)
     return carry[0], carry[1], node_stack, edge_stack
 
 
@@ -223,10 +226,14 @@ class NodeClassificationMPN(nn.Module):
         # the fused kernel has a custom VJP (backward Pallas kernel), so the
         # fused path serves training and inference alike
         c_run = dict(c)
+        # pure-eval entries set _COLLECT_AUX=False: only the final step feeds
+        # decode, so the per-step output stacks (~570MB of HBM writes at
+        # flagship shapes) and the aux head passes are skipped
+        collect = train or c.get("_COLLECT_AUX", True)
 
         node_features, edge_features, node_stack, edge_stack = _run_steps(
             self, c_run, num_types, c["SKIP"], steps, node_features, edge_features,
-            edge_index, types, edge_valid, self.dtype, "mpn",
+            edge_index, types, edge_valid, self.dtype, "mpn", collect=collect,
         )
 
         edge_head = MLP(tuple(c["EDGE_CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="edge_classification")
@@ -234,11 +241,14 @@ class NodeClassificationMPN(nn.Module):
         class_head = MLP(tuple(c["CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="classification")
 
         preds_edge, preds_node, preds_class = [], [], []
-        for i in range(steps):
-            if i >= steps - aux - 1:
-                preds_node.append(node_head(node_stack[i], node_valid, train)[..., 0])
-                preds_class.append(class_head(node_stack[i], node_valid, train))
-                preds_edge.append(edge_head(edge_stack[i], edge_valid, train)[..., 0])
+        if collect:
+            for i in range(steps):
+                if i >= steps - aux - 1:
+                    preds_node.append(node_head(node_stack[i], node_valid, train)[..., 0])
+                    preds_class.append(class_head(node_stack[i], node_valid, train))
+                    preds_edge.append(edge_head(edge_stack[i], edge_valid, train)[..., 0])
+        else:
+            preds_edge.append(edge_head(edge_features, edge_valid, train)[..., 0])
 
         if node_steps:
             node_features, edge_features, _, _ = _run_steps(

@@ -212,6 +212,8 @@ def build_pose_model(config, dtype=jnp.float32) -> PoseEstimationBaseline:
         if "USE_PALLAS" in config.TPU:
             use_pallas = bool(config.TPU.USE_PALLAS)
         mpn_cfg["_USE_PALLAS"] = use_pallas and _jax.default_backend() == "tpu"
+    if "COLLECT_AUX" in config.TPU:
+        mpn_cfg["_COLLECT_AUX"] = bool(config.TPU.COLLECT_AUX)
     return PoseEstimationBaseline(
         backbone_name=backbone_name,
         hrnet_spec=hrnet_spec,

@@ -54,10 +54,12 @@ def main():
     cfg_file = args.config if args.config.endswith(".yaml") else f"configs/{args.config}.yaml"
     config = update_config(config, cfg_file)
     config = update_config_command(config, args.options)
+    config.defrost()
     if not config.LOG_DIR:
-        config.defrost()
         config.LOG_DIR = "tmp"
-        config.freeze()
+    # eval never consumes aux-step predictions — skip their stacks/heads
+    config.TPU.COLLECT_AUX = False
+    config.freeze()
     eval_writer = EvalWriter(config, fname=args.out_file)
     scaling_type = get_scaling_type(config)
 
