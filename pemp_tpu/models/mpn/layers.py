@@ -357,7 +357,6 @@ class TypeAwareMPNLayer(nn.Module):
             # construction (ops.knn.knn_edges_target_major), so the target
             # side never needs a data-dependent gather
             i = jnp.repeat(jnp.arange(num_nodes, dtype=edge_index.dtype), self.blocked_c)
-        x_j = x[j]
         pre = pre or {}
         src_type = pre.get("src_type")
         if src_type is None:
@@ -377,15 +376,30 @@ class TypeAwareMPNLayer(nn.Module):
                 k0 = jnp.asarray(k0, self.dtype)
                 b0 = jnp.asarray(b0, self.dtype)
                 h_node = x.astype(self.dtype) @ k0[:dn] + b0          # (N, H)
-                h_edge = (
-                    x_j.astype(self.dtype) @ k0[dn:2 * dn]
-                    + edge_attr.astype(self.dtype) @ k0[2 * dn:]
-                )                                                     # (E, H)
+                di = pre.get("init_dim", 0)
+                xj_init = pre.get("xj_init")
+                if di and xj_init is not None:
+                    # skip-connection split: the init half of x_j is
+                    # loop-invariant and pre-gathered; only the current half
+                    # is gathered per step (halves the gather bytes)
+                    xj_cur = x[:, di:][j]
+                    h_edge = (
+                        xj_init.astype(self.dtype) @ k0[dn:dn + di]
+                        + xj_cur.astype(self.dtype) @ k0[dn + di:2 * dn]
+                        + edge_attr.astype(self.dtype) @ k0[2 * dn:]
+                    )                                                 # (E, H)
+                else:
+                    x_j = x[j]
+                    h_edge = (
+                        x_j.astype(self.dtype) @ k0[dn:2 * dn]
+                        + edge_attr.astype(self.dtype) @ k0[2 * dn:]
+                    )                                                 # (E, H)
                 # repeat-add instead of reshape-add: the (E,H)->(N,C,H)
                 # reshape forces a column-major relayout copy (~0.7ms/step)
                 h = nn.relu(h_edge + jnp.repeat(h_node, self.blocked_c, axis=0))
             else:
                 x_i = x[i]
+                x_j = x[j]
                 h = jnp.concatenate([x_i, x_j, edge_attr], axis=-1)
                 h = nn.Dense(self.edge_feature_hidden, dtype=self.dtype, name="mlp_edge_0")(h)
                 h = nn.relu(h)
@@ -395,6 +409,7 @@ class TypeAwareMPNLayer(nn.Module):
             dst_type = pre.get("dst_type")
             if dst_type is None:
                 dst_type = node_types[i]
+            x_j = x[j]
             x_i = (
                 jnp.repeat(x, self.blocked_c, axis=0) if self.blocked_c else x[i]
             )

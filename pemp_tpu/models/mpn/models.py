@@ -150,11 +150,21 @@ def _run_steps(parent, mpn_cfg, num_types, skip, steps, node_features, edge_feat
         src_type = sum_node_types(mpn_cfg["NODE_TYPE_SUMMARY"], raw)
     else:
         src_type = node_types[j]
+    pre_extra = {}
+    if skip:
+        # with skip connections each step gathers x_j from concat(init, cur);
+        # the init half is loop-invariant, so gather it once and let the
+        # layer's split edge MLP consume it — halves the per-step gather bytes
+        pre_extra = {
+            "xj_init": node_features[j],
+            "init_dim": node_features.shape[-1],
+        }
     e = src_type.shape[0]
     pre = {
         "src_type": src_type,
         "dst_type": dst_type,
         "src_type2d": src_type.astype(jnp.int32).reshape(e, 1),
+        **pre_extra,
     }
     if edge_valid is not None:
         pre["valid2d"] = edge_valid.astype(jnp.int32).reshape(e, 1)
