@@ -128,6 +128,11 @@ _C.MODEL.MPN.USE_NODE_UPDATE_MLP = False
 _C.MODEL.MPN.NODE_EMB = CN(new_allowed=True)
 _C.MODEL.MPN.EDGE_EMB = CN(new_allowed=True)
 _C.MODEL.MPN.CLASS = CN(new_allowed=True)
+# tag-regression head (NodeClassificationMPNTag / MPNTag; the reference sets
+# this only in experiment YAMLs — e.g. model_58_5.yaml:116)
+_C.MODEL.MPN.NODE_TAG = CN(new_allowed=True)
+_C.MODEL.MPN.NODE_TAG.BN = True
+_C.MODEL.MPN.NODE_TAG.OUTPUT_SIZES = [1]
 _C.MODEL.MPN.BN = True
 _C.MODEL.MPN.AGGR = "max"
 _C.MODEL.MPN.AGGR_SUB = "None"

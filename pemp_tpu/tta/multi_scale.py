@@ -40,6 +40,30 @@ from pemp_tpu.geometry import (
 )
 
 
+def _head_probs(preds, gb):
+    """Sigmoid/softmax of the final head outputs with variant-safe fallbacks:
+    edge-less variants (tag regressors) get zero edge confidence, node-less
+    variants (edge-only MPNs) fall back to detector scores as node scores
+    (mirrors the reference's handling in valid.py:105-131)."""
+    edge_logit = preds["edge"][-1] if preds["edge"] else None
+    node_logit = preds["node"][-1] if preds["node"] else None
+    edge_pred = (
+        jax.nn.sigmoid(edge_logit)
+        if edge_logit is not None
+        else jnp.zeros(gb.edge_valid.shape, jnp.float32)
+    )
+    node_pred = (
+        jax.nn.sigmoid(node_logit)
+        if node_logit is not None
+        else gb.joint_scores.astype(jnp.float32)
+    )
+    class_logit = preds["class"][-1] if preds.get("class") else None
+    class_prob = (
+        jax.nn.softmax(class_logit, axis=-1) if class_logit is not None else None
+    )
+    return edge_pred, node_pred, class_prob
+
+
 def _blocked_c(cfg, num_edges: int, num_nodes: int) -> int:
     """Target-major blocked slot count for the decode fast path (0 = generic).
 
@@ -227,13 +251,7 @@ class TTAPipeline:
             preds = model.apply(
                 variables, gb, train=False, method=model.mpn_forward
             )
-            edge_pred = jax.nn.sigmoid(preds["edge"][-1])
-            node_pred = jax.nn.sigmoid(preds["node"][-1])
-            class_prob = (
-                jax.nn.softmax(preds["class"][-1], axis=-1)
-                if preds["class"] is not None
-                else None
-            )
+            edge_pred, node_pred, class_prob = _head_probs(preds, gb)
             out = dict(
                 nodes=gb.joint_det, node_scores=node_pred,
                 detector_scores=gb.joint_scores,
@@ -241,6 +259,11 @@ class TTAPipeline:
                 edge_pred=edge_pred, node_valid=gb.node_valid,
                 class_prob=class_prob,
             )
+            # tag-regression variants: per-node tag predictions ride along so
+            # eval can group by tag matching (reference valid.py:105-131)
+            tag_pred = preds.get("tag", [None])[-1]
+            if tag_pred is not None:
+                out["tag_pred"] = tag_pred
             if with_decode:
                 persons, person_valid = decode_poses(
                     jnp.transpose(heat, (2, 0, 1)),
@@ -359,13 +382,7 @@ class TTAPipeline:
             preds = model.apply(
                 variables, gb, train=False, method=model.mpn_forward
             )
-            edge_pred = jax.nn.sigmoid(preds["edge"][-1])
-            node_pred = jax.nn.sigmoid(preds["node"][-1])
-            class_prob = (
-                jax.nn.softmax(preds["class"][-1], axis=-1)
-                if preds["class"] is not None
-                else None
-            )
+            edge_pred, node_pred, class_prob = _head_probs(preds, gb)
 
             b = batch
             n_per = gb.joint_det.shape[0] // b
@@ -387,6 +404,9 @@ class TTAPipeline:
                 scoremaps=heat_acc,
                 tags=tag_acc,
             )
+            tag_pred = preds.get("tag", [None])[-1]
+            if tag_pred is not None:
+                out["tag_pred"] = tag_pred.reshape(b, n_per, -1)
             if with_decode:
                 sm_cf = jnp.transpose(heat_acc, (0, 3, 1, 2))
                 tg_cf = jnp.transpose(tag_acc, (0, 3, 1, 2, 4))

@@ -168,3 +168,50 @@ def test_run_batched_matches_per_image(tta_setup):
             atol=1e-4, rtol=1e-4,
         )
         assert batched[i]["base_size"] == single["base_size"]
+
+
+def test_tta_tag_variant_ae_fallback():
+    """Tag-regression variants surface per-node tag predictions through the
+    TTA pipeline, and the AE fallback (reference valid.py:115-131) groups
+    with mpn_match_by_tag + HeatmapParser refine/adjust."""
+    from pemp_tpu.decode.ae_grouping import HeatmapParser, Params, mpn_match_by_tag
+
+    cfg = get_config()
+    cfg = update_config(cfg, "configs/hybrid_class_agnostic_end2end/model_58_4.yaml")
+    cfg.defrost()
+    cfg.MODEL.MPN.NAME = "NodeClassificationMPNTag"
+    cfg.MODEL.MPN.STEPS = 2
+    cfg.MODEL.MPN.NODE_INPUT_DIM = 32
+    cfg.TPU.NODES_PER_TYPE = 4
+    cfg.TPU.KNN_K = 5
+    cfg.DATASET.INPUT_SIZE = 128
+    cfg.DATASET.OUTPUT_SIZE = [32, 64]
+    cfg.TEST.SCALE_FACTOR = [1.0]
+    cfg.TEST.FLIP_TEST = False
+    cfg.TEST.PROJECT2IMAGE = False
+    cfg.freeze()
+    model = build_pose_model(cfg)
+    img = jnp.zeros((1, 128, 128, 3))
+    variables = model.init(jax.random.PRNGKey(0), img, train=False)
+    pipe = TTAPipeline(model, variables, cfg, with_decode=False)
+    image = (np.random.RandomState(5).rand(128, 160, 3) * 255).astype(np.uint8)
+    out = pipe(image)
+    assert out.get("tag_pred") is not None
+    # edge-less variant: zero edge confidence, node scores fall back wired
+    assert np.asarray(out["edge_pred"]).max() == 0.0
+
+    keep = np.asarray(out["node_valid"])
+    det = np.asarray(out["nodes"])[keep]
+    scr = np.asarray(out["detector_scores"])[keep]
+    tp = np.asarray(out["tag_pred"])[keep]
+    if tp.ndim == 1:
+        tp = tp[:, None]
+    ans = mpn_match_by_tag(det, tp, scr, Params(num_joints=17))
+    sm_np = np.asarray(out["scoremaps"]).transpose(2, 0, 1)
+    tg_np = np.asarray(out["tags"]).transpose(2, 0, 1, 3)
+    parser = HeatmapParser(num_joints=17)
+    if len(ans):
+        ans = np.stack([parser.refine(sm_np, tg_np, kp) for kp in ans])
+        ans = parser.adjust(np.asarray(ans, np.float32), sm_np)
+    persons = np.asarray(ans, np.float32).reshape(-1, 17, 3)
+    assert np.isfinite(persons).all()

@@ -156,7 +156,33 @@ def main():
         img_id = int(eval_set.img_ids[i])
         eval_ids.append(img_id)
         t0 = time.perf_counter()
-        if on_device_decode:
+        if out.get("tag_pred") is not None:
+            # tag-regression variants group by AE tag matching on the MPN's
+            # per-node tags with detector scores (reference: valid.py:115-131
+            # perd_to_ann_ae -> mpn_match_by_tag -> refine -> adjust)
+            from pemp_tpu.decode.ae_grouping import (
+                HeatmapParser, Params, mpn_match_by_tag,
+            )
+
+            keep = np.asarray(out["node_valid"])
+            det = np.asarray(out["nodes"])[keep]
+            scr = np.asarray(out["detector_scores"])[keep]
+            tp = np.asarray(out["tag_pred"])[keep]
+            if tp.ndim == 1:
+                tp = tp[:, None]
+            ans = mpn_match_by_tag(det, tp, scr, Params(num_joints=num_joints))
+            sm_np = np.asarray(out["scoremaps"]).transpose(2, 0, 1)
+            tg_np = np.asarray(out["tags"]).transpose(2, 0, 1, 3)
+            parser = HeatmapParser(num_joints=num_joints)
+            if len(ans) and config.TEST.WITH_REFINE:
+                ans = np.stack(
+                    [parser.refine(sm_np, tg_np, kp) for kp in ans]
+                )
+            if len(ans) and config.TEST.ADJUST:
+                ans = parser.adjust(np.asarray(ans, np.float32), sm_np)
+            persons = np.asarray(ans, np.float32).reshape(-1, num_joints, 3)
+            person_valid = np.ones(len(persons), bool)
+        elif on_device_decode:
             persons, person_valid = out["persons"], out["person_valid"]
         elif cc_method == "greedy":
             # host greedy person construction (reference: Utils.py:517-626)
