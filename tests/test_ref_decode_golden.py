@@ -1,0 +1,202 @@
+"""Golden tests: our on-device decode vs the *actual* reference decode code.
+
+Imports the reference's Utils/Utils.py (torch+scipy+numpy) with stub modules
+for the imports its decode path never touches (cv2, tensorboard,
+torch_geometric metrics, the missing andres multicut wrapper), then compares
+
+  * pred_to_person(cc_method='threshold') + graph_cluster_to_persons
+    (Utils.py:499-514, 672-743) vs cluster_threshold + persons_from_clusters
+  * refine (Utils.py:1026-1104) vs decode.assembly.refine_ae
+  * adjust (Utils.py:917-936) vs decode.assembly.adjust_quarter
+
+on randomized synthetic scenes. This covers SURVEY hard-part "decode chain"
+with the reference's own semantics, not a hand-written oracle.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from pemp_tpu.decode.assembly import (
+    adjust_quarter,
+    cluster_threshold,
+    persons_from_clusters,
+    refine_ae,
+)
+
+REF_SRC = "/root/reference/src"
+
+
+def _stub(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def _dense_to_sparse(adj):
+    idx = adj.nonzero(as_tuple=False).t()
+    return idx, adj[idx[0], idx[1]]
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    saved = dict(sys.modules)
+    _stub("cv2")
+    _stub("torch.utils.tensorboard", SummaryWriter=object)
+    tg = _stub("torch_geometric")
+    _stub(
+        "torch_geometric.utils",
+        dense_to_sparse=_dense_to_sparse,
+        precision=None, recall=None, accuracy=None, f1_score=None,
+        subgraph=None,
+    )
+    tg.utils = sys.modules["torch_geometric.utils"]
+    upkg = _stub("Utils")
+    upkg.__path__ = [f"{REF_SRC}/Utils"]
+    _stub("Utils.correlation_clustering")
+    _stub(
+        "Utils.correlation_clustering.correlation_clustering_utils",
+        cluster_graph=lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("andres lib absent")
+        ),
+    )
+
+    class _Graph:  # reference dataset_utils.Graph: a plain data holder here
+        def __init__(self, x=None, edge_index=None, edge_attr=None, **kw):
+            self.x, self.edge_index, self.edge_attr = x, edge_index, edge_attr
+
+    _stub("Utils.dataset_utils", Graph=_Graph)
+    _stub(
+        "Utils.eval",
+        gen_ann_format=None, gen_ann_format_mean=None, gen_ann_format_correct=None,
+    )
+    _stub("Utils.transformations", reverse_affine_map=None)
+
+    spec = importlib.util.spec_from_file_location(
+        "Utils.Utils", f"{REF_SRC}/Utils/Utils.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["Utils.Utils"] = mod
+    try:
+        spec.loader.exec_module(mod)
+        yield mod
+    finally:
+        for k in list(sys.modules):
+            if k not in saved:
+                del sys.modules[k]
+            else:
+                sys.modules[k] = saved[k]
+
+
+def _scene(rng, n=120, j=17, e=500):
+    det = np.stack(
+        [
+            rng.randint(0, 60, n),
+            rng.randint(0, 60, n),
+            rng.randint(0, j, n),
+        ],
+        axis=1,
+    ).astype(np.int64)
+    scores = rng.rand(n).astype(np.float32) * 0.9 + 0.05
+    src = rng.randint(0, n, e)
+    dst = rng.randint(0, n, e)
+    keep = src != dst
+    edge_index = np.stack([src[keep], dst[keep]])
+    pred = rng.rand(edge_index.shape[1]).astype(np.float32)
+    return det, scores, edge_index, pred
+
+
+def _person_set(persons):
+    """Canonical set representation: per-person sorted tuple of joint rows."""
+    out = []
+    for p in persons:
+        rows = tuple(
+            (t, round(float(x), 4), round(float(y), 4), round(float(s), 5))
+            for t, (x, y, s) in enumerate(p)
+            if s > 0
+        )
+        out.append(rows)
+    return sorted(out)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_threshold_assembly_matches_reference(ref_utils, seed):
+    rng = np.random.RandomState(seed)
+    det, scores, edge_index, pred = _scene(rng)
+    n, j = len(det), 17
+
+    ref_persons, _, _ = ref_utils.pred_to_person(
+        torch.from_numpy(det), torch.from_numpy(scores),
+        torch.from_numpy(edge_index), torch.from_numpy(pred), None,
+        "threshold", j,
+    )
+    ref_persons = np.asarray(ref_persons).reshape(-1, j, 3)
+
+    labels = cluster_threshold(
+        jnp.asarray(edge_index), jnp.ones(edge_index.shape[1], bool),
+        jnp.asarray(pred), n, jnp.ones(n, bool), threshold=0.8,
+    )
+    persons, valid = persons_from_clusters(
+        jnp.asarray(det.astype(np.int32)), jnp.asarray(scores),
+        labels, jnp.ones(n, bool), j, max_persons=64,
+    )
+    got = np.asarray(persons)[np.asarray(valid)]
+
+    assert _person_set(got) == _person_set(ref_persons)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_refine_matches_reference(ref_utils, seed):
+    rng = np.random.RandomState(10 + seed)
+    j, h, w, p, s = 17, 48, 48, 3, 2
+    scoremaps = rng.rand(j, h, w).astype(np.float32)
+    tagmaps = rng.rand(j, h, w, s).astype(np.float32) * 4
+    persons = np.zeros((p, j, 3), np.float32)
+    for pi in range(p):
+        present = rng.rand(j) > 0.4
+        present[rng.randint(j)] = True  # at least one joint
+        persons[pi, present, 0] = rng.randint(0, w, present.sum())
+        persons[pi, present, 1] = rng.randint(0, h, present.sum())
+        persons[pi, present, 2] = rng.rand(present.sum()) * 0.9 + 0.05
+
+    want = ref_utils.refine(scoremaps.copy(), tagmaps.copy(), persons.copy())
+    got = np.asarray(
+        refine_ae(
+            jnp.asarray(scoremaps), jnp.asarray(tagmaps),
+            jnp.asarray(persons), jnp.ones(p, bool),
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_adjust_matches_reference(ref_utils, seed):
+    rng = np.random.RandomState(20 + seed)
+    j, h, w, p = 17, 48, 48, 4
+    scoremaps = rng.rand(j, h, w).astype(np.float32)
+    persons = np.zeros((p, j, 3), np.float32)
+    for pi in range(p):
+        present = rng.rand(j) > 0.3
+        persons[pi, present, 0] = rng.randint(1, w - 1, present.sum())
+        persons[pi, present, 1] = rng.randint(1, h - 1, present.sum())
+        persons[pi, present, 2] = rng.rand(present.sum())
+
+    want = ref_utils.adjust(persons.copy(), scoremaps.copy())
+    got = np.asarray(adjust_quarter(jnp.asarray(scoremaps), jnp.asarray(persons)))
+    # reference adjust mutates only joints with score > 0; ours is vectorized
+    mask = persons[:, :, 2] > 0
+    np.testing.assert_allclose(got[mask], want[mask], rtol=1e-5, atol=1e-5)
