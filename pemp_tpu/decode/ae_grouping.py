@@ -14,17 +14,21 @@ from __future__ import annotations
 
 import numpy as np
 
-from pemp_tpu.ops.matching import hungarian_numpy
 
 
 def min_cost_match(cost: np.ndarray) -> np.ndarray:
-    """Munkres-style complete min-cost assignment; returns (k, 2) row/col pairs."""
+    """Munkres-style complete min-cost assignment; returns (k, 2) row/col pairs.
+
+    scipy's linear_sum_assignment — deterministic tie-breaking that the
+    reference-decode golden tests pin down (ties between equally optimal
+    assignments are common with the round(d)*100 - score cost form).
+    """
     if cost.size == 0:
         return np.zeros((0, 2), np.int32)
-    sim = (cost.max() + 1.0) - cost  # all positive -> every row matched
-    col_of_row = hungarian_numpy(sim)
-    pairs = [(r, c) for r, c in enumerate(col_of_row) if c >= 0]
-    return np.array(pairs, np.int32).reshape(-1, 2)
+    from scipy.optimize import linear_sum_assignment
+
+    r, c = linear_sum_assignment(np.asarray(cost, np.float64))
+    return np.stack([r, c], axis=1).astype(np.int32)
 
 
 class Params:
@@ -107,15 +111,23 @@ def match_by_tag(tag_k, loc_k, val_k, params: Params):
 
 
 def mpn_match_by_tag(joint_det, tag_k, scores, params: Params):
-    """match_by_tag on MPN node lists. reference: Utils.py:1493-1578."""
+    """match_by_tag on MPN node lists. reference: Utils.py:1493-1578.
+
+    Joints stay in *natural node order* within each type (the reference
+    iterates the raw detection list; sorting or truncating changes the
+    Munkres tie-breaking and the group-key insertion order, which shifts
+    assignments on crowded scenes — verified by the reference golden test).
+    """
     j = params.num_joints
-    k = params.max_num_people
+    per_type = [np.where(joint_det[:, 2] == t)[0] for t in range(j)]
+    k = max(max((len(s) for s in per_type), default=1), 1)
+    # dtype mix mirrors the reference exactly: tags stay float32 (group keys
+    # and running tag means), while the joint rows promote to float64 via the
+    # int64-coordinate concat — round()/threshold sit on exact boundaries
     tag_j = np.zeros((j, k, tag_k.shape[1]), np.float32)
-    loc_j = np.zeros((j, k, 2), np.float32)
-    val_j = np.zeros((j, k), np.float32)
-    for t in range(j):
-        sel = np.where(joint_det[:, 2] == t)[0]
-        sel = sel[np.argsort(-scores[sel])][:k]
+    loc_j = np.zeros((j, k, 2), np.float64)
+    val_j = np.zeros((j, k), np.float64)
+    for t, sel in enumerate(per_type):
         n = len(sel)
         tag_j[t, :n] = tag_k[sel]
         loc_j[t, :n] = joint_det[sel, :2]

@@ -200,3 +200,80 @@ def test_adjust_matches_reference(ref_utils, seed):
     # reference adjust mutates only joints with score > 0; ours is vectorized
     mask = persons[:, :, 2] > 0
     np.testing.assert_allclose(got[mask], want[mask], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_greedy_construction_matches_reference(ref_utils, seed):
+    """CC_METHOD='greedy' host decode vs reference greedy_person_construction
+    (Utils.py:517-626); np.float shim for the reference's legacy numpy."""
+    np.float = float  # reference uses the removed numpy alias
+    try:
+        rng = np.random.RandomState(30 + seed)
+        det, scores, edge_index, pred = _scene(rng, n=80, e=400)
+
+        from pemp_tpu.decode import greedy_person_construction
+
+        want, want_labels = ref_utils.greedy_person_construction(
+            torch.from_numpy(det), torch.from_numpy(scores),
+            torch.from_numpy(pred), None, torch.from_numpy(edge_index), 17,
+        )
+        got, got_labels = greedy_person_construction(
+            det, scores, pred, None, edge_index, 17
+        )
+        want = np.asarray(want).reshape(-1, 17, 3)
+        got = np.asarray(got).reshape(-1, 17, 3)
+        assert _person_set(got) == _person_set(want)
+        np.testing.assert_array_equal(np.asarray(got_labels), np.asarray(want_labels))
+    finally:
+        del np.float
+
+
+class _ScipyMunkres:
+    """munkres.Munkres stand-in on scipy's optimal assignment (same optimum;
+    the reference imports munkres inside mpn_match_by_tag)."""
+
+    def compute(self, cost):
+        from scipy.optimize import linear_sum_assignment
+
+        r, c = linear_sum_assignment(np.asarray(cost))
+        return list(zip(r.tolist(), c.tolist()))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_mpn_match_by_tag_matches_reference(ref_utils, seed):
+    """AE fallback grouping vs reference mpn_match_by_tag (Utils.py:1493-1578)."""
+    _stub("munkres", Munkres=_ScipyMunkres)
+    try:
+        rng = np.random.RandomState(40 + seed)
+        n, j, s = 90, 17, 1
+        det = np.stack(
+            [rng.randint(0, 60, n), rng.randint(0, 60, n), rng.randint(0, j, n)],
+            axis=1,
+        ).astype(np.int64)
+        scores = rng.rand(n).astype(np.float32) * 0.9 + 0.05
+        tags = (rng.rand(n, s).astype(np.float32) * 6).round(1)
+
+        class P:
+            num_joints = j
+            max_num_people = 30
+            detection_threshold = 0.1
+            tag_threshold = 1.0
+            use_detection_val = True
+            ignore_too_much = False
+            joint_order = [
+                i - 1
+                for i in [1, 2, 3, 4, 5, 6, 7, 12, 13, 8, 9, 10, 11, 14, 15, 16, 17]
+            ]
+
+        want = ref_utils.mpn_match_by_tag(det, tags, scores, P())
+        want = np.asarray(want, np.float32).reshape(-1, j, want.shape[-1])[:, :, :3]
+
+        from pemp_tpu.decode.ae_grouping import Params, mpn_match_by_tag
+
+        got = mpn_match_by_tag(det, tags, scores, Params(num_joints=j))
+        got = np.asarray(got, np.float32).reshape(-1, j, 3)
+        assert _person_set(got) == _person_set(want)
+    finally:
+        sys.modules.pop("munkres", None)
