@@ -163,15 +163,18 @@ class HeatmapParser:
             tag = tag[..., None]
         k = self.params.max_num_people
         flat = masked.reshape(j, -1)
-        ind = np.argsort(-flat, axis=1)[:, :k]
-        val_k = np.take_along_axis(flat, ind, axis=1)
+        ind = np.argsort(-flat, axis=1, kind="stable")[:, :k]
+        # float64 loc/val: the reference's int64 torch indices promote the
+        # matching's joint rows to float64 (tags stay float32) — round()/
+        # threshold comparisons in match_by_tag sit on exact boundaries
+        val_k = np.take_along_axis(flat, ind, axis=1).astype(np.float64)
         tag_flat = tag.reshape(j, h * w, -1)
         tag_k = np.stack(
             [np.take_along_axis(tag_flat[..., d], ind, axis=1) for d in range(tag_flat.shape[-1])],
             axis=-1,
-        )
-        x = (ind % w).astype(np.float32)
-        y = (ind // w).astype(np.float32)
+        ).astype(np.float32)
+        x = (ind % w).astype(np.float64)
+        y = (ind // w).astype(np.float64)
         loc_k = np.stack([x, y], axis=-1)
         return tag_k, loc_k, val_k
 

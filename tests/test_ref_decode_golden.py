@@ -277,3 +277,71 @@ def test_mpn_match_by_tag_matches_reference(ref_utils, seed):
         assert _person_set(got) == _person_set(want)
     finally:
         sys.modules.pop("munkres", None)
+
+
+@pytest.fixture(scope="module")
+def ref_group(ref_utils):
+    """Load the reference's hr_utils/group.py (AE grouping baseline)."""
+    _stub("munkres", Munkres=_ScipyMunkres)
+    sys.modules["Utils"].Graph = sys.modules["Utils.dataset_utils"].Graph
+    sys.modules["Utils"].adjust = ref_utils.adjust
+    sys.modules["Utils"].refine = ref_utils.refine
+    spec = importlib.util.spec_from_file_location(
+        "ref_group", f"{REF_SRC}/Utils/hr_utils/group.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    yield mod
+    sys.modules.pop("munkres", None)
+
+
+class _Cfg:
+    class DATASET:
+        NUM_JOINTS = 17
+        MAX_NUM_PEOPLE = 30
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_match_by_tag_matches_reference_group(ref_group, seed):
+    """Binned (J,K) tag matching vs the reference's group.py match_by_tag."""
+    from pemp_tpu.decode.ae_grouping import Params, match_by_tag
+
+    rng = np.random.RandomState(50 + seed)
+    j, k, d = 17, 12, 2
+    tag_k = (rng.rand(j, k, d).astype(np.float32) * 6).round(1)
+    loc_k = rng.randint(0, 64, (j, k, 2)).astype(np.float64)
+    val_k = rng.rand(j, k).astype(np.float64)
+
+    want = ref_group.match_by_tag((tag_k, loc_k, val_k), ref_group.Params(_Cfg))
+    want = np.asarray(want, np.float32).reshape(-1, j, 3 + d)
+    got = match_by_tag(tag_k, loc_k, val_k, Params(num_joints=j))
+    assert _person_set(got[:, :, :3]) == _person_set(want[:, :, :3])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1])
+def test_heatmap_parser_topk_match_matches_reference(ref_group, seed):
+    """NMS + per-joint top-K + tag matching vs reference HeatmapParser."""
+    from pemp_tpu.decode.ae_grouping import HeatmapParser as OurParser
+
+    rng = np.random.RandomState(60 + seed)
+    j, h, w = 17, 64, 64
+    det = rng.rand(j, h, w).astype(np.float32)
+    tag = (rng.rand(j, h, w, 2).astype(np.float32) * 6)
+
+    ref_parser = ref_group.HeatmapParser(_Cfg)
+    ans = ref_parser.top_k(
+        torch.from_numpy(det)[None], torch.from_numpy(tag)[None]
+    )
+    want_groups = ref_parser.match(
+        ans["tag_k"], ans["loc_k"], ans["val_k"]
+    )[0]
+    want_groups = np.asarray(want_groups, np.float32).reshape(-1, j, 5)
+
+    ours = OurParser(num_joints=j, max_num_people=30, nms_kernel=5)
+    tag_k, loc_k, val_k = ours.top_k(det, tag)
+    from pemp_tpu.decode.ae_grouping import Params, match_by_tag
+
+    got = match_by_tag(tag_k, loc_k, val_k, Params(num_joints=j))
+    assert _person_set(got[:, :, :3]) == _person_set(want_groups[:, :, :3])
