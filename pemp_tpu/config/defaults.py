@@ -16,6 +16,12 @@ _C.DATA_DIR = ""
 _C.GPUS = (0,)
 _C.WORKERS = 4
 _C.PRINT_FREQ = 20
+# accepted no-op: cudnn knobs from the reference's GPU setup (train.py:207-212
+# seeds + cudnn determinism); TPU/XLA runs are deterministic by construction
+_C.CUDNN = CN(new_allowed=True)
+_C.CUDNN.BENCHMARK = True
+_C.CUDNN.DETERMINISTIC = False
+_C.CUDNN.ENABLED = True
 _C.AUTO_RESUME = False
 _C.PIN_MEMORY = True
 _C.RANK = 0
@@ -31,6 +37,11 @@ _C.MODEL.FEATURE_GATHER_PADDING = 1
 
 _C.MODEL.LOSS = CN()
 _C.MODEL.LOSS.NAME = ["edge_loss"]
+# legacy keys present in older reference experiment YAMLs (accepted, the
+# modern config paths supersede them): reference default_config.py:25 keeps
+# WITH_FLIP_KERNEL commented out; FOCAL_LOSS predates MODEL.LOSS.USE_FOCAL
+_C.MODEL.WITH_FLIP_KERNEL = False
+_C.MODEL.FOCAL_LOSS = True
 _C.MODEL.LOSS.NODE_WEIGHT = 1.0
 _C.MODEL.LOSS.EDGE_WEIGHT = 1.0
 _C.MODEL.LOSS.CLASS_WEIGHT = 1.0
@@ -161,6 +172,8 @@ _C.MODEL.GC.INCLUSION_RADIUS = 0.75
 _C.MODEL.GC.GRAPH_TYPE = "knn"
 _C.MODEL.GC.CC_METHOD = "GAEC"
 _C.MODEL.GC.NORM_NODE_DISTANCE = False
+# dead key in some reference experiment YAMLs (no code consumer there)
+_C.MODEL.GC.GT_FOR_END2END = False
 _C.MODEL.GC.IMAGE_CENTRIC_SAMPLING = False
 _C.MODEL.GC.NODE_MATCHING_RADIUS = 0.5
 _C.MODEL.GC.NODE_INCLUSION_RADIUS = 0.7
@@ -198,6 +211,8 @@ _C.TEST = CN()
 _C.TEST.SPLIT = "coco_17_mini"
 _C.TEST.NUM_EVAL = 500
 _C.TEST.ADJUST = True
+# dead key in some reference experiment YAMLs (the live one is PROJECT2IMAGE)
+_C.TEST.PROJECT_TO_IMAGE = False
 _C.TEST.WITH_REFINE = False
 _C.TEST.REFINE_COMP = False
 _C.TEST.FILL_MEAN = True

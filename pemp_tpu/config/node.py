@@ -162,6 +162,20 @@ def _coerce(new: Any, old: Any, key: str) -> Any:
             return int(eval(new, {"__builtins__": {}}, {}))  # noqa: S307
         except Exception:
             pass
+    if isinstance(new, str) and isinstance(old, (tuple, list)):
+        # yacs literal-evals strings: experiment YAMLs write GPUS: '(0,)'
+        import ast
+
+        try:
+            parsed = ast.literal_eval(new)
+            if isinstance(parsed, (tuple, list)):
+                return type(old)(parsed)
+        except (ValueError, SyntaxError):
+            pass
+        # the reference's experiment YAMLs set MODEL.LOSS.NAME (list default)
+        # to plain strings like 'node_edge_loss'; its consumers use substring
+        # semantics on them, so the string is carried through as-is
+        return new
     raise ValueError(
         f"type mismatch for key {key}: cannot replace {type(old).__name__} "
         f"with {type(new).__name__} ({new!r})"

@@ -629,9 +629,23 @@ class MultiLossFactory:
 
 def dispatch_loss_func(config):
     """reference: src/train.py:186-204 (node -> ClassMulti; {heatmap, tag} ->
-    PureTagMulti; {edge, heatmap} -> Multi). Edge-only kept as an extension
-    for the VanillaMPN configs."""
-    losses = set(config.MODEL.LOSS.NAME)
+    PureTagMulti; {edge, heatmap} -> Multi) and the legacy string-name table
+    (test_train_loop.py:148-157) used by the older experiment YAMLs, where
+    MODEL.LOSS.NAME is a plain string. Edge-only kept as an extension for
+    the VanillaMPN configs."""
+    name = config.MODEL.LOSS.NAME
+    if isinstance(name, str):
+        table = {
+            "edge_loss": MPNLossFactory,
+            "node_edge_loss": ClassMPNLossFactory,
+            "node_with_background_edge_loss": BackgroundClassMultiLossFactory,
+            "tag_loss": TagMultiLossFactory,
+            "pure_tag_loss": PureTagMultiLossFactory,
+        }
+        if name in table:
+            return table[name](config)
+        raise NotImplementedError(name)
+    losses = set(name)
     if "node" in losses:
         return ClassMultiLossFactory(config)
     if losses == {"heatmap", "tag"}:

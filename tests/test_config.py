@@ -1,6 +1,6 @@
 import pytest
 
-from pemp_tpu.config import get_config, update_config_command
+from pemp_tpu.config import get_config, update_config, update_config_command
 from pemp_tpu.config.node import ConfigNode
 
 
@@ -95,3 +95,29 @@ def test_all_experiment_configs_load_and_build():
         cfg = update_config(cfg, f)
         get_mpn_model(cfg.MODEL.MPN)  # factory resolves
         build_pose_model(cfg)  # composite builds
+
+
+def test_all_reference_experiment_yamls_load():
+    """Key-surface compatibility: every one of the reference's 227 experiment
+    YAMLs merges into our config trees (the 4 hrnet *_adam_lr1e-3 files load
+    through the hrnet-only tree, as the reference's valid_hr.py does)."""
+    import glob
+
+    from pemp_tpu.config import get_hrnet_config
+
+    paths = sorted(
+        glob.glob("/root/reference/experiments/**/*.yaml", recursive=True)
+    )
+    if not paths:
+        import pytest
+
+        pytest.skip("reference experiments not available")
+    assert len(paths) >= 200
+    for p in paths:
+        if "adam_lr1e-3" in p:
+            cfg = get_hrnet_config()
+            cfg.defrost()
+            cfg.merge_from_file(p)
+        else:
+            cfg = get_config()
+            update_config(cfg, p)

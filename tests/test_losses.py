@@ -144,3 +144,32 @@ def test_mask_node_connections():
         mask_node_connections(preds, ei, 0.5, labels, include_bordering_nodes=True)
     )
     np.testing.assert_array_equal(m2, [True, True, True])
+
+
+def test_string_loss_name_dispatch():
+    """Legacy string MODEL.LOSS.NAME values from the reference experiment
+    YAMLs dispatch per test_train_loop.py:148-157's table."""
+    from pemp_tpu.losses.factories import (
+        BackgroundClassMultiLossFactory,
+        ClassMPNLossFactory,
+        MPNLossFactory,
+        PureTagMultiLossFactory,
+        TagMultiLossFactory,
+        dispatch_loss_func,
+    )
+
+    table = {
+        "edge_loss": MPNLossFactory,
+        "node_edge_loss": ClassMPNLossFactory,
+        "node_with_background_edge_loss": BackgroundClassMultiLossFactory,
+        "tag_loss": TagMultiLossFactory,
+        "pure_tag_loss": PureTagMultiLossFactory,
+    }
+    from pemp_tpu.config import get_config
+
+    for name, cls in table.items():
+        cfg = get_config()
+        cfg.defrost()
+        cfg.MODEL.LOSS.NAME = name
+        cfg.freeze()
+        assert isinstance(dispatch_loss_func(cfg), cls), name
