@@ -463,6 +463,7 @@ _MODELS = {
     "VanillaMPN2": VanillaMPN,
     "ClassificationMPN": lambda cfg, dtype: _zoo("ClassificationMPN")(cfg, dtype=dtype),
     "ClassificationMPNSimple": NodeClassificationMPN,
+    "ClassificationMPNSimple2": lambda cfg, dtype: _zoo("ClassificationMPNSimple2")(cfg, dtype=dtype),
     "NodeClassificationMPN": NodeClassificationMPN,
     # reference NodeClassificationMPNWithBackground.py is absent from the
     # reference tree (broken import, SURVEY §3 caveat); the background
@@ -495,6 +496,15 @@ def get_mpn_model(mpn_config, dtype=jnp.float32):
     """Factory. reference: MessagePassingNetwork/__init__.py:27-73."""
     cfg = mpn_cfg_from_config(mpn_config)
     name = cfg["NAME"]
+    if name in ("ClassificationNaive", "NodeClassificationMPNGroupBasedHierach"):
+        # the reference's own imports for these are broken: neither
+        # ClassificationNaive.py nor NodeClassificationMPNGroupBasedHierach.py
+        # exists in its tree (MessagePassingNetwork/__init__.py:6,16), so the
+        # configs naming them cannot run there either
+        raise NotImplementedError(
+            f"{name}: class absent from the reference repository "
+            "(broken import in its MessagePassingNetwork/__init__.py)"
+        )
     if name not in _MODELS:
         raise NotImplementedError(name)
     return _MODELS[name](cfg, dtype=dtype)

@@ -507,3 +507,58 @@ class NodeClassificationMPNSimpleWithRef(nn.Module):
         preds_node = [node_head(nf, node_valid, train)[..., 0]]
         preds_class = [class_head(nf, node_valid, train)]
         return {"edge": preds_edge, "node": preds_node, "class": preds_class, "tag": [None]}
+
+
+class ClassificationMPNSimple2(nn.Module):
+    """One shared layer run STEPS times -> node head, then EDGE_STEPS more
+    passes through the same layer -> edge head.
+
+    reference: ClassificationMPNSimple2.py:53-101 (a single MPLayer shared
+    across both phases, unlike ClassificationMPN's two separate layers).
+    """
+
+    mpn_cfg: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
+                 edge_valid=None, train: bool = False, **kwargs):
+        c = self.mpn_cfg
+        num_types = num_summary_types(c["NODE_TYPE_SUMMARY"], c["NUM_JOINTS"])
+        types = sum_node_types(c["NODE_TYPE_SUMMARY"], node_types)
+        edge_f = MLP(
+            tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]), bn=c["EDGE_EMB"]["BN"],
+            end_with_relu=c["EDGE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="edge_embedding",
+        )(edge_attr, edge_valid, train)
+        node_f = MLP(
+            tuple(c["NODE_EMB"]["OUTPUT_SIZES"]), bn=c["NODE_EMB"]["BN"],
+            end_with_relu=c["NODE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="node_embedding",
+        )(x, node_valid, train)
+        init_n, init_e = node_f, edge_f
+        layer = _make_layer(c, num_types, self.dtype, "layer")
+        skip = c["SKIP"]
+
+        for _ in range(c["STEPS"]):
+            node_f, edge_f = layer(
+                _skip_cat(init_n, node_f, skip), _skip_cat(init_e, edge_f, skip),
+                edge_index, types, edge_valid,
+            )
+        node_head = MLP(
+            tuple(c["NODE_CLASS"]["OUTPUT_SIZES"]), bn=c["BN"],
+            dtype=self.dtype, name="node_classification",
+        )
+        preds_node = [node_head(node_f, node_valid, train)[..., 0]]
+
+        for _ in range(c.get("EDGE_STEPS", 0)):
+            node_f, edge_f = layer(
+                _skip_cat(init_n, node_f, skip), _skip_cat(init_e, edge_f, skip),
+                edge_index, types, edge_valid,
+            )
+        edge_head = MLP(
+            tuple(c["EDGE_CLASS"]["OUTPUT_SIZES"]), bn=c["BN"],
+            dtype=self.dtype, name="edge_classification",
+        )
+        preds_edge = [edge_head(edge_f, edge_valid, train)[..., 0]]
+        return {"edge": preds_edge, "node": preds_node, "class": None, "tag": [None]}

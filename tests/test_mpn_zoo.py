@@ -127,3 +127,50 @@ def test_classification_mpn_group_phase_uses_labels_at_train():
     assert not np.allclose(
         np.asarray(out_eval["edge"][-1]), np.asarray(out_train["edge"][-1])
     )
+
+
+def test_classification_mpn_simple2_forward():
+    """Shared-layer two-phase variant (reference ClassificationMPNSimple2):
+    node head after STEPS, edge head after EDGE_STEPS more passes."""
+    rng = np.random.RandomState(3)
+    mpn_cfg = _cfg("ClassificationMPNSimple2", AGGR_TYPE="agnostic",
+                   EDGE_STEPS=1, SKIP=False)
+    model = get_mpn_model(mpn_cfg)
+    x, ea, ei, types, nv, ev = _graph(rng)
+    variables = model.init(jax.random.PRNGKey(0), x, ea, ei, types,
+                           node_valid=nv, edge_valid=ev)
+    out = model.apply(variables, x, ea, ei, types, node_valid=nv, edge_valid=ev)
+    assert out["edge"][-1].shape == (ei.shape[1],)
+    assert out["node"][-1].shape == (x.shape[0],)
+    assert np.isfinite(np.asarray(out["edge"][-1])).all()
+
+
+def test_broken_reference_names_raise_clearly():
+    """Names whose classes are absent from the reference repo itself raise a
+    diagnostic error instead of silently substituting an architecture."""
+    for name in ("ClassificationNaive", "NodeClassificationMPNGroupBasedHierach"):
+        with pytest.raises(NotImplementedError, match="absent from the reference"):
+            get_mpn_model(_cfg(name))
+
+
+def test_all_reference_yaml_mpn_names_resolve():
+    """Every MODEL.MPN.NAME used by the reference's 227 experiment YAMLs
+    resolves in our factory, except the two whose classes are missing from
+    the reference repository itself."""
+    import glob
+
+    from pemp_tpu.models.mpn.models import _MODELS
+
+    broken = {"ClassificationNaive", "NodeClassificationMPNGroupBasedHierach"}
+    paths = sorted(glob.glob("/root/reference/experiments/**/*.yaml", recursive=True))
+    if not paths:
+        pytest.skip("reference experiments not available")
+    names = set()
+    for p in paths:
+        if "adam_lr1e-3" in p:
+            continue
+        cfg = get_config()
+        cfg = update_config(cfg, p)
+        names.add(cfg.MODEL.MPN.NAME)
+    unresolved = {n for n in names if n not in _MODELS} - broken
+    assert not unresolved, unresolved
