@@ -277,7 +277,13 @@ class NodeClassificationMPN(nn.Module):
 
 
 class VanillaMPN(nn.Module):
-    """Edge-only classification MPN. reference: VanillaMPN.py:78-116."""
+    """Edge-only classification MPN. reference: VanillaMPN.py:78-116.
+
+    DROP_FEATURE (reference factory __init__.py:29-30 routes to a
+    VanillaMPNFeatureDrop whose file is absent from the reference tree):
+    'edge_dist' zeroes the dx/dy columns of the edge attributes — the
+    feature-importance ablation the train/model_39_* configs run.
+    """
 
     mpn_cfg: dict
     dtype: Any = jnp.float32
@@ -286,6 +292,12 @@ class VanillaMPN(nn.Module):
     def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
                  edge_valid=None, joint_tags=None, train: bool = False, **kwargs):
         c = self.mpn_cfg
+        drop = c.get("DROP_FEATURE", "")
+        if drop == "edge_dist":
+            # edge attrs lead with [dx, dy] (graph.constructor._edge_features)
+            edge_attr = edge_attr.at[:, :2].set(0.0)
+        elif drop:
+            raise NotImplementedError(f"DROP_FEATURE={drop!r}")
         edge_features = MLP(
             tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]), bn=c["BN"],
             end_with_relu=c["NODE_EMB"].get("END_WITH_RELU", False),
