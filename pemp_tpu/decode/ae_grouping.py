@@ -1,13 +1,15 @@
 """Associative-embedding grouping baseline (HigherHRNet-style).
 
-Re-implementation of the reference's heuristic AE grouping
-(reference: src/Utils/hr_utils/group.py:42-392 match_by_tag / HeatmapParser /
-cluster_cc, and src/Utils/Utils.py:1493-1578 mpn_match_by_tag). NMS + top-k
-run on device via pemp_tpu.ops; the sequential joint-order Munkres matching
-runs on host (it is inherently sequential and tiny).
+``match_by_tag`` is a deliberately *faithful port* of the reference
+algorithm (src/Utils/hr_utils/group.py:42-117 and src/Utils/Utils.py:
+1493-1578 mpn_match_by_tag): its exact iteration order, tie-breaking,
+group-key insertion and dtype promotion are load-bearing for AP parity,
+and the reference-decode golden tests pin them bit-for-bit. NMS + top-k
+run on device via pemp_tpu.ops; the sequential joint-order Munkres
+matching runs on host (it is inherently sequential and tiny).
 
-Used by the valid_hr backbone-parity path and the PlainTag/TagThreshold
-model variants.
+Used by the valid_hr backbone-parity path, the AE eval fallback for
+tag-regression MPN variants, and the PlainTag/TagThreshold models.
 """
 
 from __future__ import annotations
