@@ -472,9 +472,9 @@ def _zoo(name):
 
 _MODELS = {
     "VanillaMPN": VanillaMPN,
-    "VanillaMPN2": VanillaMPN,
+    "VanillaMPN2": lambda cfg, dtype: _zoo("VanillaMPN2")(cfg, dtype=dtype),
     "ClassificationMPN": lambda cfg, dtype: _zoo("ClassificationMPN")(cfg, dtype=dtype),
-    "ClassificationMPNSimple": NodeClassificationMPN,
+    "ClassificationMPNSimple": lambda cfg, dtype: _zoo("ClassificationMPNSimple")(cfg, dtype=dtype),
     "ClassificationMPNSimple2": lambda cfg, dtype: _zoo("ClassificationMPNSimple2")(cfg, dtype=dtype),
     "NodeClassificationMPN": NodeClassificationMPN,
     # reference NodeClassificationMPNWithBackground.py is absent from the
@@ -490,7 +490,7 @@ _MODELS = {
     "NodeClassificationMPNGroupBased": NodeClassificationMPN,  # overridden below
     "JointTypeClassification": JointTypeClassification,
     "NodeClassificationMPNTag": NodeClassificationMPNTag,
-    "MPNTag": NodeClassificationMPNTag,
+    "MPNTag": lambda cfg, dtype: _zoo("MPNTag")(cfg, dtype=dtype),
     "LogisticEdgeClassifier": LogisticEdgeClassifier,
     "TagThreshold": TagThreshold,
     "PlainTag": PlainTag,

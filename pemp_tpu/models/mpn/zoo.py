@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from pemp_tpu.models.mpn.layers import (
     MLP,
+    MaskedBatchNorm,
     MPLayer,
     TypeAwareMPNLayer,
     num_summary_types,
@@ -562,3 +563,196 @@ class ClassificationMPNSimple2(nn.Module):
         )
         preds_edge = [edge_head(edge_f, edge_valid, train)[..., 0]]
         return {"edge": preds_edge, "node": preds_node, "class": None, "tag": [None]}
+
+
+class ClassificationMPNSimple(nn.Module):
+    """One layer (agnostic MPLayer or per_type TypeAwareMPNLayer) run STEPS
+    times -> node head, then EDGE_STEPS more passes through the same layer
+    -> edge head. No class head, no aux-step predictions.
+
+    reference: ClassificationMPNSimple.py:40-66. Faithful quirks preserved:
+      * the edge embedding's end_with_relu comes from NODE_EMB
+        (reference :28-29), its bn from EDGE_EMB;
+      * forward sums node types with "not" regardless of NODE_TYPE_SUMMARY
+        (reference :41) while the per-type layer is *sized* by
+        NODE_TYPE_SUMMARY (reference :16-26) — all 64 experiment configs
+        using this name leave NODE_TYPE_SUMMARY at its "not" default, where
+        the two agree.
+    """
+
+    mpn_cfg: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
+                 edge_valid=None, train: bool = False, **kwargs):
+        c = self.mpn_cfg
+        num_types = num_summary_types(c["NODE_TYPE_SUMMARY"], c["NUM_JOINTS"])
+        types = node_types  # sum_node_types("not", .) — reference :41
+        edge_f = MLP(
+            tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]), bn=c["EDGE_EMB"]["BN"],
+            end_with_relu=c["NODE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="edge_embedding",
+        )(edge_attr, edge_valid, train)
+        node_f = MLP(
+            tuple(c["NODE_EMB"]["OUTPUT_SIZES"]), bn=c["NODE_EMB"]["BN"],
+            end_with_relu=c["NODE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="node_embedding",
+        )(x, node_valid, train)
+        init_n, init_e = node_f, edge_f
+        layer = _make_layer(c, num_types, self.dtype, "mpn_node_cls")
+        skip = c["SKIP"]
+
+        for _ in range(c["STEPS"]):
+            node_f, edge_f = layer(
+                _skip_cat(init_n, node_f, skip), _skip_cat(init_e, edge_f, skip),
+                edge_index, types, edge_valid,
+            )
+        node_head = MLP(
+            tuple(c["NODE_CLASS"]["OUTPUT_SIZES"]), bn=c["BN"],
+            dtype=self.dtype, name="node_classification",
+        )
+        preds_node = [node_head(node_f, node_valid, train)[..., 0]]
+
+        for _ in range(c.get("EDGE_STEPS", 0)):
+            node_f, edge_f = layer(
+                _skip_cat(init_n, node_f, skip), _skip_cat(init_e, edge_f, skip),
+                edge_index, types, edge_valid,
+            )
+        edge_head = MLP(
+            tuple(c["EDGE_CLASS"]["OUTPUT_SIZES"]), bn=c["BN"],
+            dtype=self.dtype, name="edge_classification",
+        )
+        preds_edge = [edge_head(edge_f, edge_valid, train)[..., 0]]
+        return {"edge": preds_edge, "node": preds_node, "class": None, "tag": [None]}
+
+
+class MPNTag(nn.Module):
+    """Tag-regression-only MPN: STEPS agnostic passes -> tag head; no node,
+    edge, or class predictions.
+
+    reference: MPNTag.py:30-48 (AGGR_TYPE must be agnostic, reference
+    :12-17; TAG_SKIP/AUX_LOSS_STEPS are read at init but unused in its
+    forward, so they are ignored here too).
+    """
+
+    mpn_cfg: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
+                 edge_valid=None, train: bool = False, **kwargs):
+        c = self.mpn_cfg
+        if c["AGGR_TYPE"] != "agnostic":
+            raise NotImplementedError(
+                "MPNTag supports AGGR_TYPE=agnostic only (reference MPNTag.py:17)"
+            )
+        edge_f = MLP(
+            tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]), bn=c["EDGE_EMB"]["BN"],
+            end_with_relu=c["EDGE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="edge_embedding",
+        )(edge_attr, edge_valid, train)
+        node_f = MLP(
+            tuple(c["NODE_EMB"]["OUTPUT_SIZES"]), bn=c["NODE_EMB"]["BN"],
+            end_with_relu=c["NODE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="node_embedding",
+        )(x, node_valid, train)
+        init_n, init_e = node_f, edge_f
+        layer = _make_layer(c, c["NUM_JOINTS"], self.dtype, "mpn_node_cls")
+        skip = c["SKIP"]
+        for _ in range(c["STEPS"]):
+            node_f, edge_f = layer(
+                _skip_cat(init_n, node_f, skip), _skip_cat(init_e, edge_f, skip),
+                edge_index, node_types, edge_valid,
+            )
+        tag = MLP(
+            tuple(c["NODE_TAG"]["OUTPUT_SIZES"]), bn=c["BN"],
+            dtype=self.dtype, name="tag_pred",
+        )(node_f, node_valid, train)[..., 0]
+        return {"edge": [None], "node": [None], "class": None, "tag": [tag]}
+
+
+class _VanillaMPLayer2(nn.Module):
+    """VanillaMPN2's layer: single-Linear edge/node MLPs each followed by
+    ReLU + BatchNorm (over edges — the node MLP runs per message).
+
+    reference: VanillaMPN2.py:19-56 (mlp_edge = Linear/ReLU/BN1d,
+    mlp_node = Linear/ReLU/BN1d applied in message(), optional
+    node_update = Linear/ReLU/BN1d on the aggregate).
+    """
+
+    node_feature_dim: int
+    edge_feature_dim: int
+    aggr: str = "add"
+    use_node_update_mlp: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_valid=None,
+                 edge_valid=None, train: bool = False):
+        from pemp_tpu.ops.segment import segment_aggregate
+
+        num_nodes = x.shape[0]
+        j, i = edge_index[0], edge_index[1]  # message flows j -> i
+        x_i, x_j = x[i], x[j]
+        h = jnp.concatenate([x_i, x_j, edge_attr], axis=-1)
+        h = nn.Dense(self.edge_feature_dim, dtype=self.dtype, name="mlp_edge_0")(h)
+        h = nn.relu(h)
+        new_edge = MaskedBatchNorm(dtype=self.dtype, name="mlp_edge_bn")(
+            h, edge_valid, train
+        )
+        m = jnp.concatenate([x_i, new_edge], axis=-1)
+        m = nn.Dense(self.node_feature_dim, dtype=self.dtype, name="mlp_node_0")(m)
+        m = nn.relu(m)
+        m = MaskedBatchNorm(dtype=self.dtype, name="mlp_node_bn")(m, edge_valid, train)
+        aggr_out = segment_aggregate(m, i, num_nodes, self.aggr, edge_valid)
+        if self.use_node_update_mlp:
+            u = nn.Dense(self.node_feature_dim, dtype=self.dtype, name="update_mlp_0")(aggr_out)
+            u = nn.relu(u)
+            aggr_out = MaskedBatchNorm(dtype=self.dtype, name="update_mlp_bn")(
+                u, node_valid, train
+            )
+        return aggr_out, new_edge
+
+
+class VanillaMPN2(nn.Module):
+    """Edge classification with SEPARATE layer weights per step (ModuleList,
+    unlike VanillaMPN's shared layer) and aux edge predictions.
+
+    reference: VanillaMPN2.py:58-93 (no skip connections — they are
+    commented out in its forward; classification head gets init_trick).
+    """
+
+    mpn_cfg: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, edge_attr, edge_index, node_types, node_valid=None,
+                 edge_valid=None, train: bool = False, **kwargs):
+        c = self.mpn_cfg
+        edge_f = MLP(
+            tuple(c["EDGE_EMB"]["OUTPUT_SIZES"]), bn=c["BN"],
+            end_with_relu=c["EDGE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="edge_embedding",
+        )(edge_attr, edge_valid, train)
+        node_f = MLP(
+            tuple(c["NODE_EMB"]["OUTPUT_SIZES"]), bn=c["BN"],
+            end_with_relu=c["NODE_EMB"].get("END_WITH_RELU", False),
+            dtype=self.dtype, name="node_embedding",
+        )(x, node_valid, train)
+        head = MLP(
+            tuple(c["CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], init_trick=True,
+            dtype=self.dtype, name="classification",
+        )
+        steps = c["STEPS"]
+        aux = c["AUX_LOSS_STEPS"]
+        preds_edge = []
+        for step in range(steps):
+            node_f, edge_f = _VanillaMPLayer2(
+                c["NODE_FEATURE_DIM"], c["EDGE_FEATURE_DIM"], aggr=c["AGGR"],
+                use_node_update_mlp=c["USE_NODE_UPDATE_MLP"],
+                dtype=self.dtype, name=f"mpn_{step}",
+            )(node_f, edge_f, edge_index, node_valid, edge_valid, train)
+            if step >= steps - aux - 1:
+                preds_edge.append(head(edge_f, edge_valid, train)[..., 0])
+        return {"edge": preds_edge, "node": [None], "class": None, "tag": [None]}

@@ -349,3 +349,164 @@ def convert_composite_state_dict(sd, config):
     }
     stats = {"backbone": bb_stats, "mpn": mpn_stats}
     return params, stats
+
+
+def _convert_agnostic_mp_layer(sd, prefix, use_node_update_mlp=False):
+    """reference layers.MPLayer (agnostic edge MLP) -> our MPLayer names.
+
+    reference module layout (layers.py:32-62): mlp_edge = Sequential(Linear,
+    ReLU, Linear, ReLU) at indices 0/2; mlp_node = Sequential(Linear, ReLU);
+    update_mlp = Sequential(Linear, ReLU).
+    """
+    layer = {
+        "mlp_edge_0": {
+            "kernel": _linear(sd[f"{prefix}.mlp_edge.0.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.mlp_edge.0.bias"]),
+        },
+        "mlp_edge_1": {
+            "kernel": _linear(sd[f"{prefix}.mlp_edge.2.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.mlp_edge.2.bias"]),
+        },
+        "mlp_node": {
+            "kernel": _linear(sd[f"{prefix}.mlp_node.0.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.mlp_node.0.bias"]),
+        },
+    }
+    if use_node_update_mlp or f"{prefix}.update_mlp.0.weight" in sd:
+        layer["update_mlp"] = {
+            "kernel": _linear(sd[f"{prefix}.update_mlp.0.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.update_mlp.0.bias"]),
+        }
+    return layer
+
+
+def _convert_type_aware_layer(sd, prefix, num_types):
+    """reference layers.TypeAwareMPNLayer -> our TypeAwareMPNLayer names
+    (same layout the flagship converter produces; layers.py:157-274)."""
+    layer = {
+        "mlp_edge_0": {
+            "kernel": _linear(sd[f"{prefix}.mlp_edge.0.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.mlp_edge.0.bias"]),
+        },
+        "mlp_edge_1": {
+            "kernel": _linear(sd[f"{prefix}.mlp_edge.2.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.mlp_edge.2.bias"]),
+        },
+    }
+    ws = [_linear(sd[f"{prefix}.mlp_node.mlp.{i}.0.weight"]) for i in range(num_types)]
+    bs = [np.asarray(sd[f"{prefix}.mlp_node.mlp.{i}.0.bias"]) for i in range(num_types)]
+    layer["mlp_node"] = {"kernel": np.stack(ws), "bias": np.stack(bs)}
+    if f"{prefix}.attn_net.0.weight" in sd:
+        layer["attn_net"] = {
+            "kernel": _linear(sd[f"{prefix}.attn_net.0.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.attn_net.0.bias"]),
+        }
+    if f"{prefix}.update_mlp.0.weight" in sd:
+        layer["update_mlp"] = {
+            "kernel": _linear(sd[f"{prefix}.update_mlp.0.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.update_mlp.0.bias"]),
+        }
+    return layer
+
+
+def convert_classification_simple_state_dict(sd, mpn_cfg):
+    """reference ClassificationMPNSimple weights -> our zoo.ClassificationMPNSimple.
+
+    reference: ClassificationMPNSimple.py:8-38 (one mpn_node_cls layer —
+    MPLayer or TypeAwareMPNLayer by AGGR_TYPE — plus embeddings and
+    node/edge classification heads; no class head).
+    """
+    from pemp_tpu.models.mpn.layers import num_summary_types
+
+    params: dict = {}
+    stats: dict = {}
+
+    def emb(name, dims, bn):
+        n = len(dims)
+        return _convert_mlp(sd, name, n, [bn] * (n - 1) + [False])
+
+    p, s = emb("node_embedding", mpn_cfg["NODE_EMB"]["OUTPUT_SIZES"], mpn_cfg["NODE_EMB"]["BN"])
+    params["node_embedding"], stats["node_embedding"] = p, s
+    p, s = emb("edge_embedding", mpn_cfg["EDGE_EMB"]["OUTPUT_SIZES"], mpn_cfg["EDGE_EMB"]["BN"])
+    params["edge_embedding"], stats["edge_embedding"] = p, s
+    for head, key in (
+        ("edge_classification", "EDGE_CLASS"),
+        ("node_classification", "NODE_CLASS"),
+    ):
+        p, s = emb(head, mpn_cfg[key]["OUTPUT_SIZES"], mpn_cfg["BN"])
+        params[head], stats[head] = p, s
+
+    if mpn_cfg["AGGR_TYPE"] == "agnostic":
+        params["mpn_node_cls"] = _convert_agnostic_mp_layer(
+            sd, "mpn_node_cls", mpn_cfg["USE_NODE_UPDATE_MLP"]
+        )
+    else:
+        t = num_summary_types(mpn_cfg["NODE_TYPE_SUMMARY"], mpn_cfg["NUM_JOINTS"])
+        params["mpn_node_cls"] = _convert_type_aware_layer(sd, "mpn_node_cls", t)
+    return params, stats
+
+
+def convert_mpn_tag_state_dict(sd, mpn_cfg):
+    """reference MPNTag weights -> our zoo.MPNTag.
+
+    reference: MPNTag.py:10-25 (agnostic MPLayer + embeddings + tag head).
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def emb(name, dims, bn):
+        n = len(dims)
+        return _convert_mlp(sd, name, n, [bn] * (n - 1) + [False])
+
+    p, s = emb("node_embedding", mpn_cfg["NODE_EMB"]["OUTPUT_SIZES"], mpn_cfg["NODE_EMB"]["BN"])
+    params["node_embedding"], stats["node_embedding"] = p, s
+    p, s = emb("edge_embedding", mpn_cfg["EDGE_EMB"]["OUTPUT_SIZES"], mpn_cfg["EDGE_EMB"]["BN"])
+    params["edge_embedding"], stats["edge_embedding"] = p, s
+    p, s = emb("tag_pred", mpn_cfg["NODE_TAG"]["OUTPUT_SIZES"], mpn_cfg["BN"])
+    params["tag_pred"], stats["tag_pred"] = p, s
+    params["mpn_node_cls"] = _convert_agnostic_mp_layer(
+        sd, "mpn_node_cls", mpn_cfg["USE_NODE_UPDATE_MLP"]
+    )
+    return params, stats
+
+
+def convert_vanilla_mpn2_state_dict(sd, mpn_cfg):
+    """reference VanillaMPN2 weights -> our zoo.VanillaMPN2.
+
+    reference: VanillaMPN2.py:58-75 — per-step ModuleList of
+    VanillaMPLayer2 (mpn.{i}), each with mlp_edge/mlp_node =
+    Sequential(Linear, ReLU, BatchNorm1d) and optional node_update_mlp.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def emb(name, dims, bn):
+        n = len(dims)
+        return _convert_mlp(sd, name, n, [bn] * (n - 1) + [False])
+
+    p, s = emb("node_embedding", mpn_cfg["NODE_EMB"]["OUTPUT_SIZES"], mpn_cfg["BN"])
+    params["node_embedding"], stats["node_embedding"] = p, s
+    p, s = emb("edge_embedding", mpn_cfg["EDGE_EMB"]["OUTPUT_SIZES"], mpn_cfg["BN"])
+    params["edge_embedding"], stats["edge_embedding"] = p, s
+    p, s = emb("classification", mpn_cfg["CLASS"]["OUTPUT_SIZES"], mpn_cfg["BN"])
+    params["classification"], stats["classification"] = p, s
+
+    for step in range(mpn_cfg["STEPS"]):
+        tp = f"mpn.{step}"
+        lp: dict = {}
+        ls: dict = {}
+        for ours, theirs in (("mlp_edge", "mlp_edge"), ("mlp_node", "mlp_node")):
+            lp[f"{ours}_0"] = {
+                "kernel": _linear(sd[f"{tp}.{theirs}.0.weight"]),
+                "bias": np.asarray(sd[f"{tp}.{theirs}.0.bias"]),
+            }
+            _bn(lp, ls, f"{ours}_bn", sd, f"{tp}.{theirs}.2")
+        if f"{tp}.node_update_mlp.0.weight" in sd:
+            lp["update_mlp_0"] = {
+                "kernel": _linear(sd[f"{tp}.node_update_mlp.0.weight"]),
+                "bias": np.asarray(sd[f"{tp}.node_update_mlp.0.bias"]),
+            }
+            _bn(lp, ls, "update_mlp_bn", sd, f"{tp}.node_update_mlp.2")
+        params[f"mpn_{step}"] = lp
+        stats[f"mpn_{step}"] = ls
+    return params, stats

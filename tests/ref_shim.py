@@ -162,10 +162,20 @@ def install_shims():
         raise NotImplementedError("torch_geometric.utils.subgraph stub")
 
     gutils.subgraph = _subgraph
+    gutils.add_self_loops = _subgraph  # import-time stubs (VanillaMPN2.py:4)
+    gutils.degree = _subgraph
     tg.utils = gutils
+    tgdata = types.ModuleType("torch_geometric.data")
+
+    class _Data:  # pragma: no cover - import-time stub only (VanillaMPN2.py:3)
+        pass
+
+    tgdata.Data = _Data
+    tg.data = tgdata
     sys.modules.setdefault("torch_geometric", tg)
     sys.modules.setdefault("torch_geometric.nn", tgnn)
     sys.modules.setdefault("torch_geometric.utils", gutils)
+    sys.modules.setdefault("torch_geometric.data", tgdata)
 
     cy = types.ModuleType("Cython")
     cyinc = types.ModuleType("Cython.Includes")
