@@ -174,8 +174,10 @@ def _coerce(new: Any, old: Any, key: str) -> Any:
             pass
         # the reference's experiment YAMLs set MODEL.LOSS.NAME (list default)
         # to plain strings like 'node_edge_loss'; its consumers use substring
-        # semantics on them, so the string is carried through as-is
-        return new
+        # semantics on them, so the string is carried through as-is — but only
+        # for that key: any other string for a list-typed key is a config error
+        if key.split(".")[-1] == "NAME":
+            return new
     raise ValueError(
         f"type mismatch for key {key}: cannot replace {type(old).__name__} "
         f"with {type(new).__name__} ({new!r})"

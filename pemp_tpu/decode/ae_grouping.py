@@ -21,9 +21,16 @@ import numpy as np
 def min_cost_match(cost: np.ndarray) -> np.ndarray:
     """Munkres-style complete min-cost assignment; returns (k, 2) row/col pairs.
 
-    scipy's linear_sum_assignment — deterministic tie-breaking that the
-    reference-decode golden tests pin down (ties between equally optimal
-    assignments are common with the round(d)*100 - score cost form).
+    Uses scipy's linear_sum_assignment. On tie-free instances the optimal
+    assignment is unique, so this matches the reference's munkres package
+    (group.py:35-39 py_max_match) exactly. Ties between equally optimal
+    assignments ARE common with the round(d)*100 - score cost form, and
+    there scipy's (deterministic but arbitrary) internal tie order may pick
+    a different equally-optimal pairing than munkres would — the golden
+    tests pin tie-free scenes bit-for-bit and
+    test_ae_grouping.test_min_cost_match_tie_heavy_optimality bounds the
+    tied case to cost-optimal complete assignments (the munkres package is
+    not installable in this environment to pin its exact tie order).
     """
     if cost.size == 0:
         return np.zeros((0, 2), np.int32)
@@ -190,8 +197,15 @@ class HeatmapParser:
         ans[:, :, :3] = out
         return ans
 
-    def refine(self, det, tag, keypoints):
-        """Single-person AE refine. reference: group.py:212-275."""
+    def refine(self, det, tag, keypoints, fill_score=None):
+        """Single-person AE refine. reference: group.py:212-275.
+
+        ``fill_score``: score assigned to in-filled joints. None keeps the
+        group.py behavior (heatmap value at the fill position); the MPN eval
+        path passes 0.001 to match Utils.py refine (Utils.py:1026-1104,
+        used by valid.py perd_to_ann_ae), which pins in-filled joints to a
+        fixed low score so they barely affect the person's mean score.
+        """
         if tag.ndim == 3:
             tag = tag[..., None]
         tags = [
@@ -218,7 +232,7 @@ class HeatmapParser:
         for i in range(det.shape[0]):
             if ans[i, 2] > 0 and keypoints[i, 2] == 0:
                 keypoints[i, :2] = ans[i, :2]
-                keypoints[i, 2] = ans[i, 2]
+                keypoints[i, 2] = ans[i, 2] if fill_score is None else fill_score
         return keypoints
 
     def parse(self, det, tag, adjust=True, refine=True, scoring="default"):

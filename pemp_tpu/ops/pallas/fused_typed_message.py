@@ -35,10 +35,10 @@ _NEG = -1e30
 def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
                   *, nb, c, t, d):
     """Shared per-tile math with a *factored* softmax: exp is taken per slot
-    against a tile-level max (softmax is shift-invariant, so any common
-    shift is exact up to fp underflow), and the per-(node,type) normalisation
-    happens after one fused numerator+denominator matmul. This avoids
-    materialising any (nbt, nbc) score/weight matrix.
+    against that slot's own (node, type)-row max (the softmax groups
+    partition the slots, so a per-slot shift keeps the factorisation exact
+    and each row numerically safe), and the per-(node,type) normalisation
+    happens after one fused numerator+denominator matmul.
 
     Returns (ef, m, e_col, den, out, ok_f, hot_f, pre).
     """
@@ -96,9 +96,6 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
     )                                      # (nbc, 1)
     valid_f = valid.astype(jnp.float32)    # (nbc, 1)
     attn_m = attn_col + (1.0 - valid_f) * _NEG
-    mx = jnp.max(attn_m)                   # tile-level shift (scalar)
-    mx = jnp.where(mx <= _NEG / 2, 0.0, mx)
-    e_col = jnp.exp(attn_m - mx) * valid_f  # (nbc, 1)
 
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (nbt, nbc), 0)
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (nbt, nbc), 1)
@@ -112,6 +109,27 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
     ).astype(jnp.int32)
     ok = (rn == sn) & (type_row == rt)
     ok_f = ok.astype(jnp.float32)          # (nbt, nbc); validity lives in e_col
+
+    # per-(node, type)-row max shift: the softmax groups PARTITION the slots
+    # (each slot has one node and one type), so scattering each row's max
+    # back to its slots gives a per-slot shift that keeps the single fused
+    # numerator+denominator matmul exact — and, unlike a tile-level max,
+    # stays robust to arbitrary logit spread across rows (a row whose own
+    # max sits far below the tile max would otherwise underflow to den=0)
+    valid_row = jax.lax.dot_general(
+        jnp.ones((1, 1), jnp.float32), valid_f,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (1, nbc) MXU-transpose of valid_f
+    masked = ok_f * valid_row              # (nbt, nbc)
+    scores = masked * attn_row[:1] + (1.0 - masked) * _NEG
+    row_max = jnp.max(scores, axis=1, keepdims=True)       # (nbt, 1)
+    row_max = jnp.where(row_max <= _NEG / 2, 0.0, row_max)
+    shift_col = jax.lax.dot_general(
+        ok_f, row_max, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (nbc, 1): each slot's row max
+    e_col = jnp.exp(attn_m - shift_col) * valid_f  # (nbc, 1)
 
     # fused numerator + denominator: one (nbt, nbc) @ (nbc, D+1) dot
     nd = jax.lax.dot_general(

@@ -140,11 +140,14 @@ class TTAPipeline:
         )
         base_w, base_h = base_size  # network-input space at scale min
         prepared = []
+        # keyed on input dtype, not observed values: a near-black uint8 image
+        # must still be scaled by 255 (reference ToTensor semantics)
+        is_uint = np.issubdtype(image.dtype, np.integer)
         for s in self.scales:
             size_resized, _, sc = self.size_fn(h, w, self.input_size, s, self.min_scale)
             mat = get_affine_transform(center, sc, size_resized)
             img_r = warp_affine(image.astype(np.float32), mat, size_resized)
-            if img_r.max() > 1.5:
+            if is_uint:
                 img_r = img_r / 255.0
             img_r = (img_r - np.array([0.485, 0.456, 0.406], np.float32)) / np.array(
                 [0.229, 0.224, 0.225], np.float32

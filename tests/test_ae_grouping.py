@@ -83,3 +83,34 @@ def test_cluster_cc_groups_by_tag():
     persons = cluster_cc(det, tag, num_joints=4)
     assert persons.shape[0] == 2
     assert (persons[:, :, 2] > 0).sum() == 8
+
+
+def test_min_cost_match_tie_heavy_optimality():
+    """Tie-heavy cost matrices of the reference's round(d)*100 - score form:
+    min_cost_match must return a complete, cost-optimal assignment (equal to
+    the brute-force optimum) and be deterministic across calls. The exact
+    tie order among equally-optimal pairings is NOT pinned to the munkres
+    package (unavailable here) — see min_cost_match's docstring."""
+    import itertools
+
+    from pemp_tpu.decode.ae_grouping import min_cost_match
+
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        k = rng.randint(2, 6)
+        # rounded tag distances in {0, 100, 200} minus small scores: many ties
+        d = rng.randint(0, 3, (k, k)).astype(np.float64) * 100.0
+        score = np.round(rng.rand(k, k), 2)
+        cost = d - score
+        pairs = min_cost_match(cost)
+        assert pairs.shape == (k, 2)
+        assert sorted(pairs[:, 0].tolist()) == list(range(k))
+        assert sorted(pairs[:, 1].tolist()) == list(range(k))
+        got_cost = cost[pairs[:, 0], pairs[:, 1]].sum()
+        best = min(
+            sum(cost[i, p[i]] for i in range(k))
+            for p in itertools.permutations(range(k))
+        )
+        np.testing.assert_allclose(got_cost, best, atol=1e-9)
+        pairs2 = min_cost_match(cost)
+        np.testing.assert_array_equal(pairs, pairs2)

@@ -113,3 +113,26 @@ def test_fused_kernel_vjp_parity(seed):
         np.testing.assert_allclose(
             np.asarray(g_), np.asarray(w_), rtol=1e-4, atol=1e-4, err_msg=name
         )
+
+
+def test_fused_kernel_wide_logit_spread():
+    """A (node, type) row whose max attention logit sits far below the tile
+    max must still produce a valid softmax average, not a silently-zeroed
+    output (per-row max shift, not tile-level)."""
+    rng = np.random.RandomState(7)
+    n, c, t, d, de = 8, 10, 4, 8, 6
+    ef = jnp.asarray(rng.randn(n * c, de).astype(np.float32))
+    a = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+    types = jnp.asarray(rng.randint(0, t, n * c), jnp.int32)
+    valid = jnp.ones(n * c, bool)
+    we = jnp.asarray(rng.randn(de, t * d).astype(np.float32))
+    # attention projection scaled so logits span >> 88 units (f32 exp range)
+    wa = jnp.asarray((rng.randn(de, 1) * 200.0).astype(np.float32))
+    want = np.asarray(jnp_reference(ef, a, types, valid, we, wa, n, t))
+    got = np.asarray(
+        fused_typed_message_aggregate(ef, a, types, valid, we, wa, n, t, interpret=True)
+    )
+    # every (node, type) group with slots must be a convex combination of
+    # finite messages — the old tile-level shift zeroed low-logit rows
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)

@@ -345,3 +345,33 @@ def test_heatmap_parser_topk_match_matches_reference(ref_group, seed):
 
     got = match_by_tag(tag_k, loc_k, val_k, Params(num_joints=j))
     assert _person_set(got[:, :, :3]) == _person_set(want_groups[:, :, :3])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_parser_refine_fill_score_matches_utils_refine(ref_utils, seed):
+    """HeatmapParser.refine(fill_score=0.001) — the MPN tag-regression eval
+    path (tools/valid.py) — must match the reference's Utils.py refine
+    (Utils.py:1026-1104: in-filled joints get fixed score 0.001, unlike
+    group.py refine which uses the heatmap value)."""
+    from pemp_tpu.decode.ae_grouping import HeatmapParser
+
+    rng = np.random.RandomState(40 + seed)
+    j, h, w, p, s = 17, 48, 48, 3, 2
+    scoremaps = rng.rand(j, h, w).astype(np.float32)
+    tagmaps = rng.rand(j, h, w, s).astype(np.float32) * 4
+    persons = np.zeros((p, j, 3), np.float32)
+    for pi in range(p):
+        present = rng.rand(j) > 0.4
+        present[rng.randint(j)] = True
+        persons[pi, present, 0] = rng.randint(0, w, present.sum())
+        persons[pi, present, 1] = rng.randint(0, h, present.sum())
+        persons[pi, present, 2] = rng.rand(present.sum()) * 0.9 + 0.05
+
+    want = ref_utils.refine(scoremaps.copy(), tagmaps.copy(), persons.copy())
+    parser = HeatmapParser(num_joints=j)
+    got = np.stack([
+        parser.refine(scoremaps, tagmaps, kp.copy(), fill_score=0.001)
+        for kp in persons
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

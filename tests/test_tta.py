@@ -215,3 +215,21 @@ def test_tta_tag_variant_ae_fallback():
         ans = parser.adjust(np.asarray(ans, np.float32), sm_np)
     persons = np.asarray(ans, np.float32).reshape(-1, 17, 3)
     assert np.isfinite(persons).all()
+
+
+def test_tta_normalization_keyed_on_dtype(tta_setup):
+    """A near-black uint8 image must still be scaled by 255: normalization
+    keys on the input dtype, never on observed pixel values."""
+    cfg, model, variables = tta_setup
+    pipe = TTAPipeline(model, variables, cfg)
+    black_u8 = np.ones((180, 240, 3), np.uint8)  # max=1 < any value heuristic
+    prep_u8, _ = pipe._prepare(black_u8)
+    prep_f32, _ = pipe._prepare(black_u8.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(
+        prep_u8[0]["padded"], prep_f32[0]["padded"], atol=1e-6
+    )
+    # and the normalized values are (1/255 - mean)/std, not (1 - mean)/std
+    expected = (1.0 / 255.0 - 0.485) / 0.229
+    hs, ws = prep_u8[0]["hs"], prep_u8[0]["ws"]
+    interior = prep_u8[0]["padded"][hs // 2, ws // 2, 0]
+    np.testing.assert_allclose(interior, expected, atol=1e-4)

@@ -109,11 +109,15 @@ def main():
     # eval fan-out: shard the image batch across all local devices
     # (SURVEY §2.3; the reference evaluates on a single GPU only)
     mesh = None
-    if len(jax.devices()) > 1 and os.environ.get("EVAL_FANOUT", "1") != "0":
+    if len(jax.local_devices()) > 1 and os.environ.get("EVAL_FANOUT", "1") != "0":
         from pemp_tpu.parallel import make_mesh
 
-        mesh = make_mesh()
-        print(f"eval fan-out over {mesh.devices.size} devices")
+        # fan-out mesh over LOCAL devices only: with process_count > 1 each
+        # process feeds different host-local batches (different shapes), so a
+        # jit spanning non-addressable devices would hang — image sharding
+        # across processes is handled separately by shard_indices below
+        mesh = make_mesh(devices=jax.local_devices())
+        print(f"eval fan-out over {mesh.devices.size} local devices")
     pipe = TTAPipeline(
         model, variables, config, with_decode=on_device_decode, mesh=mesh
     )
@@ -175,8 +179,10 @@ def main():
             tg_np = np.asarray(out["tags"]).transpose(2, 0, 1, 3)
             parser = HeatmapParser(num_joints=num_joints)
             if len(ans) and config.TEST.WITH_REFINE:
+                # fill_score=0.001 matches Utils.py refine (the reference's
+                # perd_to_ann_ae path, Utils.py:1102), not group.py refine
                 ans = np.stack(
-                    [parser.refine(sm_np, tg_np, kp) for kp in ans]
+                    [parser.refine(sm_np, tg_np, kp, fill_score=0.001) for kp in ans]
                 )
             if len(ans) and config.TEST.ADJUST:
                 ans = parser.adjust(np.asarray(ans, np.float32), sm_np)
