@@ -261,11 +261,26 @@ class DataLoader:
             batches = [b for b in batches if len(b) == self.batch_size]
 
         if self.num_workers > 0:
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
+            # bounded prefetch: keep at most ~2x num_workers batches in
+            # flight so completed-but-unconsumed batches cannot pile up and
+            # exhaust host RAM on long epochs (each COCO batch is ~25MB of
+            # images + 2-scale heatmaps + masks)
+            window = 2 * self.num_workers
             with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [pool.submit(self._load_batch, b) for b in batches]
-                for f in futures:
+                pending = deque()
+                it = iter(batches)
+                for b in it:
+                    pending.append(pool.submit(self._load_batch, b))
+                    if len(pending) >= window:
+                        break
+                while pending:
+                    f = pending.popleft()
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        pending.append(pool.submit(self._load_batch, nxt))
                     yield f.result()
         else:
             for b in batches:

@@ -19,25 +19,28 @@ import numpy as np
 
 
 def min_cost_match(cost: np.ndarray) -> np.ndarray:
-    """Munkres-style complete min-cost assignment; returns (k, 2) row/col pairs.
+    """Munkres complete min-cost assignment; returns (k, 2) row/col pairs.
 
-    Uses scipy's linear_sum_assignment. On tie-free instances the optimal
-    assignment is unique, so this matches the reference's munkres package
-    (group.py:35-39 py_max_match) exactly. Ties between equally optimal
-    assignments ARE common with the round(d)*100 - score cost form, and
-    there scipy's (deterministic but arbitrary) internal tie order may pick
-    a different equally-optimal pairing than munkres would — the golden
-    tests pin tie-free scenes bit-for-bit and
-    test_ae_grouping.test_min_cost_match_tie_heavy_optimality bounds the
-    tied case to cost-optimal complete assignments (the munkres package is
-    not installable in this environment to pin its exact tie order).
+    Runs the classical 6-step Munkres algorithm (pemp_tpu/decode/munkres.py)
+    — the same algorithm family and deterministic scan order as the
+    reference's munkres package (group.py:35-39 py_max_match) — so the
+    tie-breaking between equally optimal assignments (common with the
+    round(d)*100 - score cost form) follows the classical algorithm's
+    order, not scipy's arbitrary internal order. Optimal-cost equality vs
+    scipy and tie-order determinism are tested in
+    tests/test_ae_grouping.py; the PyPI munkres package itself is not
+    installable in this environment, so parity with it is structural
+    (same steps, same scan order), not empirical.
+
+    Rectangular costs with rows > cols are valid here: the callers pad
+    with 1e10 columns first (group.py:84-91), and Munkres pads to square
+    internally like the reference package.
     """
     if cost.size == 0:
         return np.zeros((0, 2), np.int32)
-    from scipy.optimize import linear_sum_assignment
+    from pemp_tpu.decode.munkres import min_cost_pairs
 
-    r, c = linear_sum_assignment(np.asarray(cost, np.float64))
-    return np.stack([r, c], axis=1).astype(np.int32)
+    return min_cost_pairs(cost)
 
 
 class Params:

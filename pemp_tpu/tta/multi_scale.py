@@ -307,8 +307,9 @@ class TTAPipeline:
         flip_index = jnp.asarray(self.flip_index)
         use_flip = self.flip
         with_decode = self.with_decode
+        maps_only = self.maps_only
         cfg = self.config
-        gc = model.gc
+        gc = None if maps_only else model.gc
         nt = self.node_threshold
         j = self.num_joints
         n_scales = len(in_shapes)
@@ -372,6 +373,10 @@ class TTAPipeline:
                     tag_acc = proj(tgf).reshape(batch, bh, bw, -1, f)
             heat_acc = heat_acc / float(n_scales)
             feat_acc = feat_acc / float(n_scales)
+
+            if maps_only:
+                # valid_hr path: aggregated heat/tags only, no graph/MPN
+                return dict(scoremaps=heat_acc, tags=tag_acc)
 
             yy = jnp.arange(bh, dtype=jnp.float32)[None, :, None]
             xx = jnp.arange(bw, dtype=jnp.float32)[None, None, :]
@@ -523,7 +528,12 @@ class TTAPipeline:
                         for kk, vv in out.items()
                     }
                     o["base_size"] = metas[idx]["base"]
-                    o["canvas_size"] = sig[1]
+                    # actual (unbucketed) canvas extent — consumers crop the
+                    # padded maps to this before host grouping
+                    o["canvas_size"] = (
+                        int(metas[idx]["canvas"][0]),
+                        int(metas[idx]["canvas"][1]),
+                    )
                     o["scaling_type"] = self.scaling_type_str
                     outs[idx] = o
         return outs

@@ -88,9 +88,10 @@ def test_cluster_cc_groups_by_tag():
 def test_min_cost_match_tie_heavy_optimality():
     """Tie-heavy cost matrices of the reference's round(d)*100 - score form:
     min_cost_match must return a complete, cost-optimal assignment (equal to
-    the brute-force optimum) and be deterministic across calls. The exact
-    tie order among equally-optimal pairings is NOT pinned to the munkres
-    package (unavailable here) — see min_cost_match's docstring."""
+    the brute-force optimum) and be deterministic across calls.
+    min_cost_match now runs the classical Munkres algorithm itself
+    (pemp_tpu/decode/munkres.py), so its tie order is the deterministic
+    classical one — see min_cost_match's docstring."""
     import itertools
 
     from pemp_tpu.decode.ae_grouping import min_cost_match
@@ -114,3 +115,38 @@ def test_min_cost_match_tie_heavy_optimality():
         np.testing.assert_allclose(got_cost, best, atol=1e-9)
         pairs2 = min_cost_match(cost)
         np.testing.assert_array_equal(pairs, pairs2)
+
+
+def test_munkres_matches_scipy_optimum_random():
+    """Classical Munkres vs scipy: same optimal cost on random (incl.
+    rectangular) instances; complete assignment of the shorter side."""
+    from scipy.optimize import linear_sum_assignment
+
+    from pemp_tpu.decode.munkres import Munkres
+
+    rng = np.random.RandomState(7)
+    for trial in range(60):
+        r = rng.randint(1, 8)
+        c = rng.randint(1, 8)
+        cost = rng.rand(r, c) * 10
+        pairs = Munkres().compute(cost)
+        k = min(r, c)
+        assert len(pairs) == k
+        rows = [p[0] for p in pairs]
+        cols = [p[1] for p in pairs]
+        assert len(set(rows)) == k and len(set(cols)) == k
+        got = sum(cost[i, j] for i, j in pairs)
+        ri, ci = linear_sum_assignment(cost)
+        np.testing.assert_allclose(got, cost[ri, ci].sum(), atol=1e-9)
+
+
+def test_munkres_tie_order_is_row_major_greedy():
+    """On an all-ties matrix the classical algorithm stars zeros greedily in
+    row-major order -> identity assignment. Pins the deterministic tie
+    order the grouping relies on."""
+    from pemp_tpu.decode.munkres import Munkres
+
+    for n in (2, 3, 5):
+        cost = np.ones((n, n))
+        pairs = Munkres().compute(cost)
+        assert pairs == [(i, i) for i in range(n)]

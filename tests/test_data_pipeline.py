@@ -115,6 +115,47 @@ def test_dataloader_batching(fake_coco_root, tmp_path):
     assert b["masks"][0].shape == (2, 32, 32)
 
 
+def test_dataloader_prefetch_bounded():
+    """Prefetch submits a bounded window, not the whole epoch up front.
+
+    Guards against unbounded ThreadPoolExecutor fan-out: with a slow
+    consumer, in-flight loads must stay <= 2*num_workers + workers' own
+    concurrency, not race through all batches.
+    """
+    import threading
+    import time
+
+    loads = []
+    lock = threading.Lock()
+
+    class SlowDataset:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            with lock:
+                loads.append(i)
+            time.sleep(0.002)
+            return (np.zeros((2, 2, 3), np.float32),)
+
+    def collate(samples):
+        return np.stack([s[0] for s in samples])
+
+    loader = DataLoader(
+        SlowDataset(), batch_size=4, shuffle=False, num_workers=2,
+        collate=collate,
+    )
+    it = iter(loader)
+    next(it)  # consume one batch, then stall
+    time.sleep(0.2)  # give runaway workers time to race ahead if unbounded
+    # window = 2*num_workers = 4 submitted batches + 1 refill after the
+    # consumed batch -> at most 5 batches (20 items) may have been loaded
+    assert len(loads) <= 5 * 4, f"prefetch ran ahead: {len(loads)} items loaded"
+    rest = list(it)
+    assert len(rest) == 15  # full epoch still delivered, in order
+    assert sorted(loads) == list(range(64))
+
+
 def test_crowd_mask_applied(fake_coco_root, tmp_path):
     """iscrowd annotations produce mask zeros."""
     # patch the annotation file with a crowd region

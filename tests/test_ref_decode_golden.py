@@ -229,22 +229,20 @@ def test_greedy_construction_matches_reference(ref_utils, seed):
         del np.float
 
 
-class _ScipyMunkres:
-    """munkres.Munkres stand-in on scipy's optimal assignment (same optimum;
-    the reference imports munkres inside mpn_match_by_tag)."""
-
-    def compute(self, cost):
-        from scipy.optimize import linear_sum_assignment
-
-        r, c = linear_sum_assignment(np.asarray(cost))
-        return list(zip(r.tolist(), c.tolist()))
+# The reference imports the munkres PyPI package (group.py:13); it is not
+# installed here, so the goldens inject our classical 6-step Munkres
+# implementation as the module. Both sides then run the SAME deterministic
+# assignment algorithm (the classical one the PyPI package implements), so
+# tie-heavy scenes are comparable — unlike a scipy stand-in, whose tie order
+# is arbitrary and unrelated to Munkres'.
+from pemp_tpu.decode.munkres import Munkres as _ClassicalMunkres  # noqa: N811
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_mpn_match_by_tag_matches_reference(ref_utils, seed):
     """AE fallback grouping vs reference mpn_match_by_tag (Utils.py:1493-1578)."""
-    _stub("munkres", Munkres=_ScipyMunkres)
+    _stub("munkres", Munkres=_ClassicalMunkres)
     try:
         rng = np.random.RandomState(40 + seed)
         n, j, s = 90, 17, 1
@@ -282,7 +280,7 @@ def test_mpn_match_by_tag_matches_reference(ref_utils, seed):
 @pytest.fixture(scope="module")
 def ref_group(ref_utils):
     """Load the reference's hr_utils/group.py (AE grouping baseline)."""
-    _stub("munkres", Munkres=_ScipyMunkres)
+    _stub("munkres", Munkres=_ClassicalMunkres)
     sys.modules["Utils"].Graph = sys.modules["Utils.dataset_utils"].Graph
     sys.modules["Utils"].adjust = ref_utils.adjust
     sys.modules["Utils"].refine = ref_utils.refine

@@ -170,6 +170,33 @@ def test_run_batched_matches_per_image(tta_setup):
         assert batched[i]["base_size"] == single["base_size"]
 
 
+def test_run_batched_maps_only_matches_per_image(tta_setup):
+    """maps_only batched eval (valid_hr path) reproduces __call__'s maps and
+    reports the true (unbucketed) canvas size."""
+    cfg, model, variables = tta_setup
+    pipe = TTAPipeline(model, variables, cfg, maps_only=True)
+    rng = np.random.RandomState(2)
+    images = [
+        (rng.rand(180, 240, 3) * 255).astype(np.uint8),
+        (rng.rand(185, 235, 3) * 255).astype(np.uint8),
+    ]
+    batched = pipe.run_batched(images, batch_size=2)
+    for i, image in enumerate(images):
+        single = pipe(image)
+        np.testing.assert_allclose(
+            np.asarray(batched[i]["scoremaps"]),
+            np.asarray(single["scoremaps"]),
+            atol=2e-5, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batched[i]["tags"]),
+            np.asarray(single["tags"]),
+            atol=2e-5, rtol=1e-4,
+        )
+        assert batched[i]["canvas_size"] == single["canvas_size"]
+        assert "nodes" not in batched[i]  # no graph/MPN in maps_only
+
+
 def test_tta_tag_variant_ae_fallback():
     """Tag-regression variants surface per-node tag predictions through the
     TTA pipeline, and the AE fallback (reference valid.py:115-131) groups

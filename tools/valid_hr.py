@@ -26,6 +26,13 @@ def parse_args():
     p.add_argument("--config", required=True)
     p.add_argument("--out_file", required=True)
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument(
+        "--parser", choices=["hr", "hg", "hg2"], default="hr",
+        help="AE grouping parser: hr = HRNet HeatmapParser (reference "
+        "valid_hr.py:109); hg / hg2 = hourglass parsers "
+        "(reference group_hg.py:192/:414, used by the reference's "
+        "hourglass eval scripts)",
+    )
     p.add_argument("options", nargs=argparse.REMAINDER, default=None)
     return p.parse_args()
 
@@ -75,29 +82,62 @@ def main():
     else:
         print("WARNING: no checkpoint found, evaluating random weights")
 
-    pipe = TTAPipeline(model, variables, config, maps_only=True)
-    parser = HeatmapParser(config)
+    # device batching: like tools/valid.py, images are loaded in windows and
+    # grouped by padded-shape signature inside run_batched so the backbone
+    # runs at device-batch throughput (the reference evaluates batch=1 in
+    # python, reference: src/valid_hr.py:146-172)
+    mesh = None
+    if len(jax.local_devices()) > 1 and os.environ.get("EVAL_FANOUT", "1") != "0":
+        from pemp_tpu.parallel import make_mesh
+
+        mesh = make_mesh(devices=jax.local_devices())
+        print(f"eval fan-out over {mesh.devices.size} local devices")
+    pipe = TTAPipeline(model, variables, config, maps_only=True, mesh=mesh)
+    if args.parser == "hg":
+        from pemp_tpu.decode.group_hg import HeatmapParserHG
+
+        parser = HeatmapParserHG(config)
+    elif args.parser == "hg2":
+        from pemp_tpu.decode.group_hg import HeatmapParserHG2
+
+        parser = HeatmapParserHG2()
+    else:
+        parser = HeatmapParser(config)
 
     anns_ae, anns_cc, eval_ids, durations = [], [], [], []
     n = len(eval_set) if args.max_images is None else min(args.max_images, len(eval_set))
     nj = config.DATASET.NUM_JOINTS
-    for i in range(n):
+    window = int(os.environ.get("EVAL_WINDOW", 64))
+    batch_size = int(os.environ.get("EVAL_BATCH", 8))
+
+    def iter_outputs():
+        for w0 in range(0, n, window):
+            idxs = list(range(w0, min(w0 + window, n)))
+            images = [np.asarray(eval_set.load_raw(i)[3]) for i in idxs]
+            t0 = time.perf_counter()
+            outs = pipe.run_batched(images, batch_size=batch_size)
+            per_img = (time.perf_counter() - t0) / len(idxs)
+            for i, out in zip(idxs, outs):
+                durations.append(per_img)
+                yield i, out
+
+    for i, out in iter_outputs():
         img_id = int(eval_set.img_ids[i])
         eval_ids.append(img_id)
-        _, _, info, image = eval_set.load_raw(i)
-        t0 = time.perf_counter()
-        out = pipe(np.asarray(image))
         det = np.asarray(out["scoremaps"]).transpose(2, 0, 1)  # (J, H, W)
         tags = np.asarray(out["tags"])
         tags = tags.transpose(2, 0, 1, 3)  # (J, H, W, S) TTA tag channels
         ch, cw = out["canvas_size"]
         det = det[:, :ch, :cw]
         tags = tags[:, :ch, :cw, :]
-        durations.append(time.perf_counter() - t0)
 
-        grouped, scores = parser.parse(
-            det, tags, adjust=config.TEST.ADJUST, refine=config.TEST.REFINE_COMP or True
-        )
+        if args.parser == "hg2":  # HG2 always refines (group_hg.py:480-487)
+            grouped, scores = parser.parse(det, tags, adjust=config.TEST.ADJUST)
+        else:
+            grouped, scores = parser.parse(
+                det, tags, adjust=config.TEST.ADJUST,
+                refine=config.TEST.REFINE_COMP or True,
+            )
         if len(grouped):
             mapped = reverse_affine_map(
                 grouped.copy(), out["base_size"], in_size, out["scaling_type"],
