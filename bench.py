@@ -94,8 +94,10 @@ def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bf
 
         b = images.shape[0]
         e_per = g["edge_index"].shape[1] // b
-        sm = jnp.transpose(scoremaps, (0, 3, 1, 2))
-        tg = jnp.transpose(output["graph"]["tags"], (0, 3, 1, 2))
+        # decode consumes the model's native NHWC maps directly
+        # (channels_last) — no (B, J, H, W) transpose copies
+        sm = scoremaps
+        tg = output["graph"]["tags"]
 
         def decode_one(i):
             sl_n = jax.lax.dynamic_slice_in_dim
@@ -120,6 +122,7 @@ def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bf
                 with_refine=os.environ.get("BENCH_NO_REFINE") != "1",
                 with_adjust=True,
                 blocked_c=blocked,
+                channels_last=True,
             )
 
         persons, valid = jax.vmap(decode_one)(jnp.arange(b))

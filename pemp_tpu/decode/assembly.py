@@ -111,16 +111,21 @@ def fill_mean(persons, person_valid):
     return jnp.where(person_valid[:, None, None], out, persons)
 
 
-def refine_ae(scoremaps, tagmaps, persons, person_valid):
+def refine_ae(scoremaps, tagmaps, persons, person_valid, channels_last=False):
     """AE-based missing-joint fill-in (reference refine: Utils.py:1026-1104).
 
     scoremaps: (J, H, W); tagmaps: (J, H, W) or (J, H, W, S) with TTA tag
-    channels. For each person: per-channel mean tag over present joints; for
+    channels — or, with ``channels_last=True``, (H, W, J) / (H, W, J, S)
+    (the model's native NHWC layout, skipping the ~ms-scale JHW transpose).
+    For each person: per-channel mean tag over present joints; for
     each joint type argmax over the map of score - round(||tag - mean||)
     (vector norm over channels, reference Utils.py:1100); add joints not yet
     present with score 1e-3.
     """
-    j, h, w = scoremaps.shape
+    if channels_last:
+        h, w, j = scoremaps.shape
+    else:
+        j, h, w = scoremaps.shape
     if tagmaps.ndim == 3:
         tagmaps = tagmaps[..., None]
 
@@ -128,7 +133,10 @@ def refine_ae(scoremaps, tagmaps, persons, person_valid):
     ptypes = jnp.arange(j)
     px = jnp.clip(persons[:, :, 0].astype(jnp.int32), 0, w - 1)
     py = jnp.clip(persons[:, :, 1].astype(jnp.int32), 0, h - 1)
-    tag_at = tagmaps[ptypes[None, :], py, px]  # (P, J, S)
+    if channels_last:
+        tag_at = tagmaps[py, px, ptypes[None, :]]  # (P, J, S)
+    else:
+        tag_at = tagmaps[ptypes[None, :], py, px]  # (P, J, S)
     cnt = jnp.maximum(jnp.sum(present, axis=1), 1)
     mean_tag = (
         jnp.sum(jnp.where(present[..., None], tag_at, 0.0), axis=1)
@@ -141,25 +149,33 @@ def refine_ae(scoremaps, tagmaps, persons, person_valid):
         jnp.arange(h, dtype=jnp.int32)[:, None] * w
         + jnp.arange(w, dtype=jnp.int32)[None, :]
     )
+    hw_axes = (0, 1) if channels_last else (1, 2)
+    iota_b = iota_yx[..., None] if channels_last else iota_yx[None]
+
+    def sm_at(yy, xx):
+        return scoremaps[yy, xx, ptypes] if channels_last else scoremaps[ptypes, yy, xx]
 
     def per_person(mtag):
-        diff = tagmaps - mtag[None, None, None, :]   # (J, H, W, S)
+        if channels_last:
+            diff = tagmaps - mtag[None, None, None, :]   # (H, W, J, S)
+        else:
+            diff = tagmaps - mtag[None, None, None, :]   # (J, H, W, S)
         tt = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
         tmp2 = scoremaps - jnp.round(tt)
-        amax = jnp.max(tmp2, axis=(1, 2), keepdims=True)
+        amax = jnp.max(tmp2, axis=hw_axes, keepdims=True)
         # ties resolve to the lowest flat index, matching argmax-over-flat
         idx = jnp.min(
-            jnp.where(tmp2 >= amax, iota_yx[None], h * w), axis=(1, 2)
+            jnp.where(tmp2 >= amax, iota_b, h * w), axis=hw_axes
         )
         yy, xx = idx // w, idx % w
-        val = scoremaps[ptypes, yy, xx]
+        val = sm_at(yy, xx)
         x = xx.astype(jnp.float32) + 0.5
         y = yy.astype(jnp.float32) + 0.5
-        right = scoremaps[ptypes, yy, jnp.minimum(xx + 1, w - 1)]
-        left = scoremaps[ptypes, yy, jnp.maximum(xx - 1, 0)]
+        right = sm_at(yy, jnp.minimum(xx + 1, w - 1))
+        left = sm_at(yy, jnp.maximum(xx - 1, 0))
         x = x + jnp.where(right > left, 0.25, -0.25)
-        down = scoremaps[ptypes, jnp.minimum(yy + 1, h - 1), xx]
-        up = scoremaps[ptypes, jnp.maximum(yy - 1, 0), xx]
+        down = sm_at(jnp.minimum(yy + 1, h - 1), xx)
+        up = sm_at(jnp.maximum(yy - 1, 0), xx)
         y = y + jnp.where(down > up, 0.25, -0.25)
         return jnp.stack([x, y, val], axis=-1)  # (J, 3)
 
@@ -180,23 +196,30 @@ def refine_ae(scoremaps, tagmaps, persons, person_valid):
     return jnp.concatenate([new_xy, new_s[..., None]], axis=-1)
 
 
-def adjust_quarter(scoremaps, persons):
+def adjust_quarter(scoremaps, persons, channels_last=False):
     """Quarter-pixel shift toward the larger neighbour + 0.5 offset.
 
     reference adjust: Utils.py:917-936 (the reference's swapped variable
     names net out to the standard per-axis comparison).
-    scoremaps: (J, H, W).
+    scoremaps: (J, H, W), or (H, W, J) with ``channels_last=True``.
     """
-    j, h, w = scoremaps.shape
+    if channels_last:
+        h, w, j = scoremaps.shape
+    else:
+        j, h, w = scoremaps.shape
     ptypes = jnp.arange(j)[None, :]
+
+    def sm_at(yy, xx):
+        return scoremaps[yy, xx, ptypes] if channels_last else scoremaps[ptypes, yy, xx]
+
     x = persons[:, :, 0]
     y = persons[:, :, 1]
     xi = jnp.clip(x.astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(y.astype(jnp.int32), 0, h - 1)
-    right = scoremaps[ptypes, yi, jnp.minimum(xi + 1, w - 1)]
-    left = scoremaps[ptypes, yi, jnp.maximum(xi - 1, 0)]
-    down = scoremaps[ptypes, jnp.minimum(yi + 1, h - 1), xi]
-    up = scoremaps[ptypes, jnp.maximum(yi - 1, 0), xi]
+    right = sm_at(yi, jnp.minimum(xi + 1, w - 1))
+    left = sm_at(yi, jnp.maximum(xi - 1, 0))
+    down = sm_at(jnp.minimum(yi + 1, h - 1), xi)
+    up = sm_at(jnp.maximum(yi - 1, 0), xi)
     nx = xi.astype(jnp.float32) + jnp.where(right > left, 0.25, -0.25) + 0.5
     ny = yi.astype(jnp.float32) + jnp.where(down > up, 0.25, -0.25) + 0.5
     has = persons[:, :, 2] > 0
@@ -225,6 +248,7 @@ def decode_poses(
     with_filter: bool = False,
     cluster_labels=None,
     blocked_c: int = 0,
+    channels_last: bool = False,
 ):
     """Full on-device decode: threshold -> cluster -> assemble -> refine -> adjust.
 
@@ -233,6 +257,8 @@ def decode_poses(
     clustering (e.g. C++ GAEC) instead of the on-device threshold CC.
     ``blocked_c``: target-major blocked slot count (enables the scatter-free
     clustering path; see ops.components.connected_components).
+    ``channels_last``: scoremaps/tagmaps are (H, W, J[, S]) — the model's
+    native NHWC layout — instead of (J, H, W[, S]); skips the transposes.
     """
     n = joint_det.shape[0]
     node_keep = node_valid & (node_scores > node_threshold)
@@ -250,7 +276,9 @@ def decode_poses(
     if with_fill_mean:
         persons = fill_mean(persons, person_valid)
     if with_refine:
-        persons = refine_ae(scoremaps, tagmaps, persons, person_valid)
+        persons = refine_ae(
+            scoremaps, tagmaps, persons, person_valid, channels_last=channels_last
+        )
     if with_adjust:
-        persons = adjust_quarter(scoremaps, persons)
+        persons = adjust_quarter(scoremaps, persons, channels_last=channels_last)
     return persons, person_valid

@@ -269,8 +269,7 @@ class TTAPipeline:
                 out["tag_pred"] = tag_pred
             if with_decode:
                 persons, person_valid = decode_poses(
-                    jnp.transpose(heat, (2, 0, 1)),
-                    jnp.transpose(tags, (2, 0, 1, 3)),
+                    heat, tags,  # native NHWC (channels_last) — no transpose
                     gb.joint_det, node_pred, gb.edge_index, gb.edge_valid,
                     edge_pred, gb.node_valid,
                     node_threshold=nt, num_joints=j,
@@ -281,6 +280,7 @@ class TTAPipeline:
                     blocked_c=_blocked_c(
                         cfg, gb.edge_index.shape[1], gb.joint_det.shape[0]
                     ),
+                    channels_last=True,
                 )
                 out["persons"] = persons
                 out["person_valid"] = person_valid
@@ -416,13 +416,12 @@ class TTAPipeline:
             if tag_pred is not None:
                 out["tag_pred"] = tag_pred.reshape(b, n_per, -1)
             if with_decode:
-                sm_cf = jnp.transpose(heat_acc, (0, 3, 1, 2))
-                tg_cf = jnp.transpose(tag_acc, (0, 3, 1, 2, 4))
-
                 def decode_one(i):
                     cp = out["class_prob"][i] if class_prob is not None else None
                     return decode_poses(
-                        sm_cf[i], tg_cf[i], out["nodes"][i], out["node_scores"][i],
+                        # native NHWC (channels_last) — no transpose copies
+                        heat_acc[i], tag_acc[i],
+                        out["nodes"][i], out["node_scores"][i],
                         out["edge_index"][i], out["edge_valid"][i],
                         out["edge_pred"][i], out["node_valid"][i],
                         node_threshold=nt, num_joints=j, class_probs=cp,
@@ -430,6 +429,7 @@ class TTAPipeline:
                         with_refine=cfg.TEST.WITH_REFINE,
                         with_adjust=cfg.TEST.ADJUST,
                         blocked_c=_blocked_c(cfg, e_per, n_per),
+                        channels_last=True,
                     )
 
                 persons, person_valid = jax.vmap(decode_one)(jnp.arange(b))

@@ -209,3 +209,52 @@ def test_refine_ae_multichannel_matches_reference_oracle():
                 want[pi, ji] = [fx, fy, 1e-3]
 
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_decode_poses_channels_last_equivalence():
+    """channels_last=True on NHWC maps reproduces the (J, H, W) path exactly
+    (the bench/TTA paths decode the model's native layout transpose-free)."""
+    rng = np.random.RandomState(5)
+    det, scores, edges, edge_pred, ev, nv = two_person_graph()
+    j, h, w = 3, 48, 48
+    sm = rng.rand(j, h, w).astype(np.float32)
+    tg = rng.randn(j, h, w, 2).astype(np.float32)
+    kw = dict(
+        node_threshold=0.5, num_joints=j, with_fill_mean=True,
+        with_refine=True, with_adjust=True,
+    )
+    p_ref, v_ref = decode_poses(
+        jnp.asarray(sm), jnp.asarray(tg), jnp.asarray(det),
+        jnp.asarray(scores), jnp.asarray(edges), jnp.asarray(ev),
+        jnp.asarray(edge_pred), jnp.asarray(nv), **kw,
+    )
+    p_cl, v_cl = decode_poses(
+        jnp.asarray(sm.transpose(1, 2, 0)), jnp.asarray(tg.transpose(1, 2, 0, 3)),
+        jnp.asarray(det), jnp.asarray(scores), jnp.asarray(edges),
+        jnp.asarray(ev), jnp.asarray(edge_pred), jnp.asarray(nv),
+        channels_last=True, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_cl))
+    np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_cl), atol=0, rtol=0)
+
+
+def test_refine_adjust_channels_last_single_tag_dim():
+    """(H, W, J) 3-dim tagmaps path (S=1, bench single-scale)."""
+    rng = np.random.RandomState(6)
+    j, h, w, p = 4, 32, 32, 5
+    sm = rng.rand(j, h, w).astype(np.float32)
+    tg = rng.randn(j, h, w).astype(np.float32)
+    persons = rng.rand(p, j, 3).astype(np.float32) * [[w - 1, h - 1, 1]]
+    persons[:, ::2, 2] = 0.0  # some missing joints
+    pv = np.array([True, True, False, True, True])
+    a = refine_ae(jnp.asarray(sm), jnp.asarray(tg), jnp.asarray(persons), jnp.asarray(pv))
+    b = refine_ae(
+        jnp.asarray(sm.transpose(1, 2, 0)), jnp.asarray(tg.transpose(1, 2, 0)),
+        jnp.asarray(persons), jnp.asarray(pv), channels_last=True,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0, rtol=0)
+    c = adjust_quarter(jnp.asarray(sm), jnp.asarray(persons))
+    d = adjust_quarter(
+        jnp.asarray(sm.transpose(1, 2, 0)), jnp.asarray(persons), channels_last=True
+    )
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d), atol=0, rtol=0)
