@@ -75,6 +75,8 @@ def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bf
         cfg.MODEL.MPN.STEPS = int(os.environ["BENCH_STEPS"])
     if os.environ.get("BENCH_K"):
         cfg.TPU.NODES_PER_TYPE = int(os.environ["BENCH_K"])
+    if os.environ.get("BENCH_MSG_PASS"):
+        cfg.TPU.MSG_PASS = os.environ["BENCH_MSG_PASS"]
     cfg.freeze()
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
@@ -125,6 +127,9 @@ def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bf
                 channels_last=True,
             )
 
+        if os.environ.get("BENCH_NO_DECODE") == "1":
+            # differential profiling knob: backbone+graph+MPN only
+            return node_pred, edge_pred
         persons, valid = jax.vmap(decode_one)(jnp.arange(b))
         return persons, valid
 

@@ -258,6 +258,14 @@ _C.TPU.TARGET_MAJOR = True       # blocked in-edge layout (dense aggregation)
 # the exact edge set.
 _C.TPU.KNN_CAP_IN = 32
 _C.TPU.USE_PALLAS = True      # fused Pallas MPN kernel when on TPU
+# typed message projection strategy on the blocked layout:
+#   auto   — fused Pallas kernel on TPU (asymmetric cap layout);
+#            reverse-permutation einsum on other backends
+#   einsum — reverse-permutation statically-type-blocked batched matmuls
+#            (zero type waste; forces the symmetric-truncation edge layout)
+#   pallas — fused Pallas message+aggregate kernel (all-types projection)
+#   dots   — plain all-types einsum + select (portable fallback)
+_C.TPU.MSG_PASS = "auto"
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 _C.TPU.MESH_DATA = -1            # -1: all devices on the data axis
 _C.TPU.MATCHER = "hungarian"     # label matching: hungarian | greedy

@@ -61,6 +61,7 @@ class GCConfig:
     with_background: bool = False
     mask_crowds: bool = True
     matcher: str = "auction"  # auction | greedy
+    knn_symmetric: bool = False  # symmetric cap truncation (einsum msg path)
     node_dropout: float = 0.0
     weight_class_loss: bool = False
     image_centric: bool = False
@@ -70,6 +71,15 @@ class GCConfig:
         gc = config.MODEL.GC
         th = gc.DETECT_THRESHOLD if gc.DETECT_THRESHOLD <= 1.5 else None
         cap_in = config.TPU.KNN_CAP_IN if "KNN_CAP_IN" in config.TPU else 32
+        msg_pass = config.TPU.MSG_PASS if "MSG_PASS" in config.TPU else "auto"
+        if msg_pass == "auto":
+            # the symmetric layout exists to serve the reverse-permutation
+            # einsum message path; on TPU the fused kernel is faster AND the
+            # symmetric bookkeeping costs ~2.4 img/s on the w48/640 bench,
+            # so auto resolves by backend
+            import jax as _jax
+
+            msg_pass = "einsum" if _jax.default_backend() != "tpu" else "pallas"
         return cls(
             num_joints=config.DATASET.NUM_JOINTS,
             nodes_per_type=config.TPU.NODES_PER_TYPE,
@@ -91,6 +101,7 @@ class GCConfig:
             use_neighbours=gc.USE_NEIGHBOURS,
             with_background=gc.WITH_BACKGROUND,
             mask_crowds=gc.MASK_CROWDS,
+            knn_symmetric=(msg_pass == "einsum"),
             matcher="greedy" if config.TPU.MATCHER == "greedy" else "auction",
             node_dropout=gc.NODE_DROPOUT,
             weight_class_loss=gc.WEIGHT_CLASS_LOSS,
@@ -133,7 +144,10 @@ def _build_edges(cfg: GCConfig, det, valid, scores, node_feats):
         if cfg.target_major:
             from pemp_tpu.ops.knn import knn_edges_target_major
 
-            return knn_edges_target_major(pos, valid, cfg.knn_k, cfg.knn_cap_in)
+            return knn_edges_target_major(
+                pos, valid, cfg.knn_k, cfg.knn_cap_in,
+                symmetric=cfg.knn_symmetric,
+            )
         return knn_edges(pos, valid, cfg.knn_k)
     if cfg.graph_type == "fully":
         return fully_connected_edges(valid)

@@ -183,14 +183,27 @@ class TypeAwareSplitLinear(nn.Module):
     contraction is computed once per (node, type) and gathered per edge,
     leaving only the (smaller) edge part in the E-major per-type matmul.
     Mathematically identical to TypeAwareLinear on the concatenation.
+
+    With ``rev_perm`` (the reverse-edge involution from
+    ops.knn.reverse_edge_perm; requires the symmetric target-major layout
+    with type-blocked detections), the edge-part projection runs with ZERO
+    type waste: permuting edge features by rev_perm groups each slot's
+    SOURCE type into static blocks (slot f's source = target of its reverse
+    = node f // C, whose raw type is statically (f // (K*C)) mod J), so the
+    per-type contraction is a (B, J, K*C, De) x (J, De, F) batched matmul
+    instead of an (E, De) x (De, T*F) all-types matmul + select — a T-fold
+    FLOP reduction on the MPN's hottest op.
     """
 
     num_types: int
     features: int
+    raw_blocks: int = 0   # J: raw type blocks per image (type-blocked nodes)
+    block_slots: int = 0  # K*C: edge slots per raw type block
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, node_part, node_of_edge, edge_part, types):
+    def __call__(self, node_part, node_of_edge, edge_part, types,
+                 rev_perm=None, sum_map=None):
         dn = node_part.shape[-1]
         de = edge_part.shape[-1]
         kernel = self.param(
@@ -208,9 +221,22 @@ class TypeAwareSplitLinear(nn.Module):
         a = jnp.einsum("ni,tio->nto", node_part.astype(self.dtype), wn)
         a_flat = a.reshape(-1, self.features)
         a_sel = a_flat[node_of_edge * self.num_types + types]
-        # edge part: per-type matmul on the smaller edge features only
-        b = jnp.einsum("ei,tio->eto", edge_part.astype(self.dtype), we)
-        b_sel = jnp.take_along_axis(b, types[:, None, None], axis=1)[:, 0]
+        if rev_perm is not None and self.raw_blocks and self.block_slots:
+            # zero-waste typed projection via the reverse-edge permutation:
+            # c[f] = edge_part[R[f]] uses block f//(K*C)'s (raw) type, and
+            # b_sel[e] = (c @ W)[R[e]] == edge_part[e] @ we[type(src(e))]
+            # since R is an involution on the symmetric layout
+            e = edge_part.shape[0]
+            j, kc = self.raw_blocks, self.block_slots
+            wj = we if sum_map is None else jnp.take(we, sum_map, axis=0)
+            cperm = edge_part[rev_perm].astype(self.dtype)
+            cperm = cperm.reshape(e // (j * kc), j, kc, de)
+            bj = jnp.einsum("bjkd,jdf->bjkf", cperm, wj)
+            b_sel = bj.reshape(e, self.features)[rev_perm]
+        else:
+            # edge part: per-type matmul on the smaller edge features only
+            b = jnp.einsum("ei,tio->eto", edge_part.astype(self.dtype), we)
+            b_sel = jnp.take_along_axis(b, types[:, None, None], axis=1)[:, 0]
         return a_sel + b_sel + jnp.take(jnp.asarray(bias, self.dtype), types, axis=0)
 
 
@@ -341,6 +367,8 @@ class TypeAwareMPNLayer(nn.Module):
     blocked_c: int = 0  # >0: edges are target-major blocks of this size
     use_fused_kernel: bool = False  # Pallas fused message+aggregate (TPU)
     pallas_interpret: bool = False  # run the kernel in interpret mode (tests)
+    raw_types: int = 0       # J: raw joint types (type-blocked detections)
+    nodes_per_type: int = 0  # K: detections per type (0 = unknown layout)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -476,8 +504,12 @@ class TypeAwareMPNLayer(nn.Module):
         # split form computes the target-node contraction once per
         # (node, type) instead of per edge
         m = TypeAwareSplitLinear(
-            self.num_types, self.node_feature_dim, dtype=self.dtype, name="mlp_node"
-        )(x, i, new_edge, src_type)
+            self.num_types, self.node_feature_dim,
+            raw_blocks=self.raw_types,
+            block_slots=self.nodes_per_type * self.blocked_c,
+            dtype=self.dtype, name="mlp_node",
+        )(x, i, new_edge, src_type,
+          rev_perm=pre.get("rev_perm"), sum_map=pre.get("type_sum_map"))
         m = nn.relu(m)
 
         if self.aggr_sub in ("node_edge_attn", "node_edge_attn_per_type"):

@@ -118,6 +118,8 @@ class _StepBody(nn.Module):
                 blocked_c=blocked_c,
                 use_fused_kernel=c.get("_USE_PALLAS", False),
                 pallas_interpret=c.get("_PALLAS_INTERPRET", False),
+                raw_types=c["NUM_JOINTS"],
+                nodes_per_type=c.get("_NODES_PER_TYPE", 0),
                 dtype=self.dtype,
                 name="layer",
             )(nf, ef, edge_index, node_types, edge_valid, pre=pre)
@@ -168,6 +170,19 @@ def _run_steps(parent, mpn_cfg, num_types, skip, steps, node_features, edge_feat
     }
     if edge_valid is not None:
         pre["valid2d"] = edge_valid.astype(jnp.int32).reshape(e, 1)
+    if mpn_cfg.get("_TYPED_EINSUM") and blocked_c and npt and edge_valid is not None:
+        # loop-invariant reverse-edge involution: enables the zero-waste
+        # statically-type-blocked message projection (requires the symmetric
+        # target-major layout, see GCConfig.knn_symmetric)
+        from pemp_tpu.ops.knn import reverse_edge_perm
+
+        num_nodes = node_features.shape[0]
+        pre["rev_perm"] = reverse_edge_perm(j, edge_valid, num_nodes, blocked_c)
+        summary = mpn_cfg["NODE_TYPE_SUMMARY"]
+        if summary and summary != "not":
+            pre["type_sum_map"] = sum_node_types(
+                summary, jnp.arange(mpn_cfg["NUM_JOINTS"], dtype=jnp.int32)
+            )
     static = {
         "init_nodes": node_features,
         "init_edges": edge_features,

@@ -212,6 +212,22 @@ def build_pose_model(config, dtype=jnp.float32) -> PoseEstimationBaseline:
         if "USE_PALLAS" in config.TPU:
             use_pallas = bool(config.TPU.USE_PALLAS)
         mpn_cfg["_USE_PALLAS"] = use_pallas and _jax.default_backend() == "tpu"
+        # typed message projection: the fused Pallas kernel wins on TPU
+        # (54.9 vs 45.4 img/s measured on the w48/640 bench — its all-types
+        # matmul waste is cheaper than the einsum path's extra E-sized HBM
+        # gathers, and the symmetric layout the einsum path needs costs a
+        # further 2.4 img/s of constructor bookkeeping); the reverse-
+        # permutation einsum path replaces the plain all-types dots on
+        # non-TPU backends. "auto" therefore resolves by backend — it MUST
+        # stay consistent with GCConfig.from_config (the einsum path is only
+        # correct on the symmetric layout).
+        msg_pass = config.TPU.MSG_PASS if "MSG_PASS" in config.TPU else "auto"
+        if msg_pass == "auto":
+            msg_pass = "einsum" if _jax.default_backend() != "tpu" else "pallas"
+        if msg_pass == "einsum" and mpn_cfg.get("_NODES_PER_TYPE"):
+            mpn_cfg["_TYPED_EINSUM"] = True
+        if msg_pass in ("einsum", "dots"):
+            mpn_cfg["_USE_PALLAS"] = False
     if "COLLECT_AUX" in config.TPU:
         mpn_cfg["_COLLECT_AUX"] = bool(config.TPU.COLLECT_AUX)
     return PoseEstimationBaseline(

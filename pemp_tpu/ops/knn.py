@@ -156,7 +156,7 @@ def top_k_per_type_edges(pos: jnp.ndarray, valid: jnp.ndarray, types: jnp.ndarra
 
 
 def knn_edges_target_major(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
-                           cap_in: int | None = None):
+                           cap_in: int | None = None, symmetric: bool = False):
     """Undirected kNN edges in a *target-major blocked* layout.
 
     Same edge set as :func:`knn_edges` (kNN union its transpose, no self
@@ -168,6 +168,13 @@ def knn_edges_target_major(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
         knn(i) (the asymmetric transpose edges), placed by rank; entries
         beyond ``cap_in`` are dropped (rare for 2-D point sets; the kNN
         in-degree is geometrically bounded).
+
+    ``symmetric=True`` additionally drops the A-side reverse of every
+    truncated B-edge, so the emitted edge set is exactly symmetric (every
+    valid edge's reverse is a valid slot). This enables the reverse-
+    permutation typed projection (:func:`reverse_edge_perm`) and replaces
+    the asymmetric-truncation deviation with a symmetric one; when
+    ``cap_in`` never binds the two modes emit identical edges.
 
     This layout lets the MPN aggregate with dense per-block reductions
     instead of scatters — the TPU-native replacement for torch_scatter.
@@ -208,7 +215,16 @@ def knn_edges_target_major(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
     # contiguous run, so the dense (n, cap_in) B-region is one row-windowed
     # gather from the sorted list — no scatters at all.
     tgt = jnp.where(fwd_keep, fwd_dst, n)  # park dropped at n
-    tgt_sorted, src_sorted = lax.sort((tgt, fwd_src), dimension=0, is_stable=True, num_keys=1)
+    slot_ids = jnp.arange(n * k, dtype=jnp.int32)
+    if symmetric:
+        # extra slot-id payload: needed to scatter the kept flags back
+        tgt_sorted, src_sorted, slot_sorted = lax.sort(
+            (tgt, fwd_src, slot_ids), dimension=0, is_stable=True, num_keys=1
+        )
+    else:
+        tgt_sorted, src_sorted = lax.sort(
+            (tgt, fwd_src), dimension=0, is_stable=True, num_keys=1
+        )
     nodes = jnp.arange(n, dtype=jnp.int32)
     counts = jnp.sum(
         (tgt_sorted[None, :] == nodes[:, None]).astype(jnp.int32), axis=1
@@ -216,6 +232,16 @@ def knn_edges_target_major(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
     starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
     )
+    if symmetric:
+        # kept[f]: the forward edge at slot f survived the B-region cap.
+        # A-slot (i, m) is the reverse of forward slot i*k+m, so dropping
+        # A-edges whose non-mutual reverse was truncated keeps the emitted
+        # edge set exactly symmetric (mutual pairs live in two A-regions and
+        # are never dropped).
+        rank = slot_ids - starts[jnp.clip(tgt_sorted, 0, n - 1)]
+        kept_sorted = (rank < cap_in) & (tgt_sorted < n)
+        kept = jnp.zeros((n * k,), bool).at[slot_sorted].set(kept_sorted)
+        valid_a = valid_a & (mutual | kept.reshape(n, k))
     r_iota = jnp.arange(cap_in, dtype=jnp.int32)
     pos = starts[:, None] + r_iota[None, :]              # (n, cap)
     valid_b = r_iota[None, :] < jnp.minimum(counts, cap_in)[:, None]
@@ -230,6 +256,30 @@ def knn_edges_target_major(pos: jnp.ndarray, valid: jnp.ndarray, k: int,
     edge_valid = jnp.concatenate([valid_a, valid_b], axis=1).reshape(-1)
     edge_dst = jnp.repeat(jnp.arange(n, dtype=jnp.int32), c)
     return jnp.stack([edge_src, edge_dst]), edge_valid
+
+
+def reverse_edge_perm(edge_src: jnp.ndarray, edge_valid: jnp.ndarray,
+                      num_nodes: int, c: int) -> jnp.ndarray:
+    """Slot index of each edge's reverse in the target-major blocked layout.
+
+    Requires the *symmetric* layout (``knn_edges_target_major(...,
+    symmetric=True)``): every valid edge (s -> i) has its unique valid
+    reverse (i -> s) somewhere in block s. Returns R (E,) int32 with
+    R[R[e]] == e for all valid edges (arbitrary for invalid slots).
+
+    R is loop-invariant across MPN steps; it turns the per-source-type
+    message projection into statically type-blocked batched matmuls
+    (see models.mpn.layers.TypeAwareSplitLinear) because slot f's source
+    type equals the (static) type of node f // C.
+    """
+    src_blocks = edge_src.reshape(num_nodes, c)
+    vb = edge_valid.reshape(num_nodes, c)
+    dst = jnp.repeat(jnp.arange(num_nodes, dtype=edge_src.dtype), c)
+    cand = src_blocks[edge_src]            # (E, C): sources in block src(e)
+    cand_ok = vb[edge_src]
+    match = (cand == dst[:, None]) & cand_ok
+    m = jnp.argmax(match, axis=1).astype(edge_src.dtype)
+    return edge_src * c + m
 
 
 def score_based_per_type_edges(pos: jnp.ndarray, valid: jnp.ndarray,

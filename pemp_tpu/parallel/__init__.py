@@ -6,6 +6,7 @@ from pemp_tpu.parallel.eval_shard import (
 )
 from pemp_tpu.parallel.mesh import (
     batch_sharding,
+    maybe_init_distributed,
     make_mesh,
     replicate,
     replicated,
@@ -22,6 +23,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_indices",
+    "maybe_init_distributed",
     "shard_train_step",
     "write_part",
 ]

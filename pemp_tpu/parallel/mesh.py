@@ -14,6 +14,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> None:
+    """Initialize JAX's multi-process runtime when launched under a cluster
+    manager (Slurm / OpenMPI / TPU pod runtimes).
+
+    Checks env vars only — ``jax.distributed.initialize()`` must run before
+    the backend is touched, so no jax state may be queried here. A bare
+    single-process launch (none of the markers, or world size 1) is left
+    untouched. Call first thing in multi-host-capable entry points
+    (tools/train.py, tools/valid.py, tools/valid_hr.py).
+    """
+    import os
+    import sys
+
+    n = (
+        os.environ.get("SLURM_NTASKS")
+        or os.environ.get("OMPI_COMM_WORLD_SIZE")
+        or os.environ.get("PMI_SIZE")
+    )
+    explicit = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    if not explicit and (not n or int(n) <= 1):
+        return
+    try:
+        jax.distributed.initialize()
+    except Exception as e:  # noqa: BLE001 — degrade to single-process
+        print(f"jax.distributed.initialize() failed: {e}", file=sys.stderr)
+
+
 def make_mesh(n_data: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()

@@ -83,6 +83,36 @@ def _bucket(x: int, granularity: int = 128) -> int:
     return int(-(-x // granularity) * granularity)
 
 
+def project_region(x, src_h, src_w, out_h: int, out_w: int,
+                   tgt_h=None, tgt_w=None):
+    """Bilinear projection of the valid ``[0:src_h, 0:src_w]`` region of a
+    padded (H, W, C) tensor onto the ``[0:tgt_h, 0:tgt_w]`` region of a
+    static ``(out_h, out_w)`` buffer (``tgt`` defaults to the full buffer;
+    pass dynamic per-image canvas dims when batching over mixed sizes).
+
+    Matches the reference's ``F.interpolate(mode='bilinear',
+    align_corners=False)`` (multi_scales_testing.py:42-195 projection chain)
+    with *dynamic* source dims inside a static padded tensor: scale_and_
+    translate with translation 0 is exactly the half-pixel convention for a
+    region anchored at the origin. ``antialias=False`` is required for
+    parity — torch's bilinear interpolate never widens the kernel, even when
+    downscaling (scales > 1 project DOWN to the base canvas), and the
+    antialiased kernel diverges by ~3e-1 there (tests/
+    test_tta_projection_golden.py pins both directions). The only remaining
+    deviation is a <=1-px border band where the kernel reads padding zeros
+    instead of clamping at the true edge; the golden test bounds it.
+    """
+    if tgt_h is None:
+        tgt_h, tgt_w = out_h, out_w
+    scale_vec = jnp.stack(
+        [tgt_h / src_h, tgt_w / src_w]
+    ).astype(jnp.float32)
+    return jax.image.scale_and_translate(
+        x, (out_h, out_w, x.shape[2]), (0, 1), scale_vec,
+        jnp.zeros((2,), jnp.float32), method="bilinear", antialias=False,
+    )
+
+
 class TTAPipeline:
     """Host orchestration + cached per-bucket jitted device programs.
 
@@ -207,15 +237,10 @@ class TTAPipeline:
                 hh, ww = x.shape[0], x.shape[1]
                 # valid subregion of this tensor is (hs/2, ws/2) when the
                 # backbone output is half-res; infer from ratios
-                ratio_h = hh / float(in_shape[0])
-                ratio_w = ww / float(in_shape[1])
-                src_h = hs * ratio_h
-                src_w = ws * ratio_w
-                scale_vec = jnp.stack([base_h / src_h, base_w / src_w])
-                translate = jnp.zeros((2,), jnp.float32)
-                return jax.image.scale_and_translate(
-                    x, (bh, bw, x.shape[2]), (0, 1), scale_vec, translate,
-                    method="bilinear",
+                src_h = hs * (hh / float(in_shape[0]))
+                src_w = ws * (ww / float(in_shape[1]))
+                return project_region(
+                    x, src_h, src_w, bh, bw, tgt_h=base_h, tgt_w=base_w
                 )
 
             f = tg.shape[-1]
@@ -349,10 +374,8 @@ class TTAPipeline:
                     hh, ww = x.shape[0], x.shape[1]
                     src_h = hs * (hh / float(ih))
                     src_w = ws * (ww / float(iw))
-                    scale_vec = jnp.stack([base_h / src_h, base_w / src_w])
-                    return jax.image.scale_and_translate(
-                        x, (bh, bw, x.shape[2]), (0, 1), scale_vec,
-                        jnp.zeros((2,), jnp.float32), method="bilinear",
+                    return project_region(
+                        x, src_h, src_w, bh, bw, tgt_h=base_h, tgt_w=base_w
                     )
 
                 def proj(arr):

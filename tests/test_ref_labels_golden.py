@@ -177,6 +177,73 @@ def test_method6_matches_reference(use_neighbours):
     assert n_checked >= 50, (n_checked, n_ties)
 
 
+def test_tie_rate_measurement():
+    """Measurement (VERDICT r2 #9): how often are synthetic scenes
+    tie-degenerate, and how much do labels disagree there?
+
+    On tie-degenerate scenes the reference's labels are decided by scipy's
+    arbitrary internal tie-break, so OUR matcher legitimately differs; this
+    quantifies the bound instead of asserting 'exact'. Non-degenerate scenes
+    must still match exactly. Numbers recorded in IMPLEMENTATION_NOTES.md
+    ('Label-matching tie bound')."""
+    hw = (128, 128)
+    gc = make_ref_label_constructor(hw=hw)
+    cfg = GCConfig(edge_label_method=6)
+    rng = np.random.RandomState(42)
+    checked = ties = undetected_flip_scenes = nondeg = 0
+    node_flips = node_total = edge_flips = edge_total = 0
+    nd_node_flips = nd_node_total = 0
+    for scene in range(220):
+        if checked >= 200:
+            break
+        det, joints_gt, factors, edge_index = _random_scene(
+            rng, crowded=scene % 3 == 0, hw=hw
+        )
+        if joints_gt[:, :, 2].sum() == 0:
+            continue
+        checked += 1
+        degenerate = _reference_is_tie_degenerate(det, joints_gt, factors, hw=hw)
+        ref_e, ref_n, *_ = _run_reference(gc, det, joints_gt, factors, edge_index)
+        ours = _run_ours(cfg, det, joints_gt, factors, edge_index, hw)
+        nf = int((ours["node_labels"] != ref_n).sum())
+        ef = int((ours["edge_labels"] != ref_e).sum())
+        if degenerate:
+            ties += 1
+            node_flips += nf
+            node_total += ref_n.size
+            edge_flips += ef
+            edge_total += ref_e.size
+        else:
+            # the column-reversal detector is sufficient, not complete: a
+            # scene can have alternate optima it misses; count those too
+            nondeg += 1
+            nd_node_flips += nf
+            nd_node_total += ref_n.size
+            if nf or ef:
+                undetected_flip_scenes += 1
+    tie_frac = ties / checked
+    node_rate = node_flips / max(node_total, 1)
+    edge_rate = edge_flips / max(edge_total, 1)
+    undetected_rate = undetected_flip_scenes / max(nondeg, 1)
+    nd_node_rate = nd_node_flips / max(nd_node_total, 1)
+    print(
+        f"\nTIE-MEASUREMENT scenes={checked} detected_tie_frac={tie_frac:.3f} "
+        f"node_flip_rate_on_ties={node_rate:.4f} "
+        f"edge_flip_rate_on_ties={edge_rate:.4f} "
+        f"undetected_flip_scene_frac={undetected_rate:.3f} "
+        f"node_flip_rate_off_ties={nd_node_rate:.5f}"
+    )
+    # bounds: ties are common on integer grids, but label flips must stay a
+    # small fraction there, and near-zero on scenes the detector clears
+    assert checked >= 200
+    assert node_rate < 0.2 and edge_rate < 0.2
+    # measured (seed 42): detected_tie_frac 0.78, node/edge flip rates on
+    # ties 0.19%/0.13%, undetected-flip scenes 11.4%, off-tie node flips
+    # 0.41% — the reversal detector is incomplete, so a minority of scenes
+    # it clears still carry alternate-optimum flips of the same magnitude
+    assert undetected_rate < 0.25 and nd_node_rate < 0.01
+
+
 def test_method6_background_class_matches_reference():
     hw = (128, 128)
     gc = make_ref_label_constructor(hw=hw, use_neighbours=True, with_background=True)

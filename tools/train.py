@@ -103,6 +103,10 @@ def make_coco_loaders(config):
 def main():
     args = parse_args()
 
+    from pemp_tpu.parallel import maybe_init_distributed
+
+    maybe_init_distributed()  # no-op unless launched by a cluster manager
+
     import jax
     import jax.numpy as jnp
 

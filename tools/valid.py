@@ -36,6 +36,10 @@ def parse_args():
 def main():
     args = parse_args()
 
+    from pemp_tpu.parallel import maybe_init_distributed
+
+    maybe_init_distributed()  # no-op unless launched by a cluster manager
+
     import jax
     import jax.numpy as jnp
 
