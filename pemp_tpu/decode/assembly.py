@@ -162,11 +162,17 @@ def refine_ae(scoremaps, tagmaps, persons, person_valid, channels_last=False):
             diff = tagmaps - mtag[None, None, None, :]   # (J, H, W, S)
         tt = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
         tmp2 = scoremaps - jnp.round(tt)
-        amax = jnp.max(tmp2, axis=hw_axes, keepdims=True)
-        # ties resolve to the lowest flat index, matching argmax-over-flat
-        idx = jnp.min(
-            jnp.where(tmp2 >= amax, iota_b, h * w), axis=hw_axes
-        )
+        if channels_last:
+            # (H, W, J) -> (H*W, J) is layout-free, so a single fused argmax
+            # (first max = lowest flat index, matching np.argmax) replaces
+            # the max + where-min double pass (~halves refine passes)
+            idx = jnp.argmax(tmp2.reshape(h * w, j), axis=0).astype(jnp.int32)
+        else:
+            amax = jnp.max(tmp2, axis=hw_axes, keepdims=True)
+            # ties resolve to the lowest flat index, matching argmax-over-flat
+            idx = jnp.min(
+                jnp.where(tmp2 >= amax, iota_b, h * w), axis=hw_axes
+            )
         yy, xx = idx // w, idx % w
         val = sm_at(yy, xx)
         x = xx.astype(jnp.float32) + 0.5

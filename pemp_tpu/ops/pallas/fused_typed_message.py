@@ -242,11 +242,20 @@ def fused_typed_message_aggregate(
     w_attn,       # (De, heads) attention projection (head 0 used)
     num_nodes: int,
     num_types: int,
-    node_tile: int = 8,
+    node_tile: int | None = None,
     interpret: bool = False,
 ):
     """Returns updates (N, T, D) float32. Differentiable (custom VJP with a
-    backward Pallas kernel that recomputes residuals per tile)."""
+    backward Pallas kernel that recomputes residuals per tile).
+
+    ``node_tile`` default 8 (override via PEMP_NODE_TILE for tuning): the
+    kernel is per-tile-overhead bound (~6us/tile at nb=8, C=82 — only ~7.5%
+    of MXU peak on the b_all matmul), so fewer, bigger tiles amortize it.
+    """
+    if node_tile is None:
+        import os
+
+        node_tile = int(os.environ.get("PEMP_NODE_TILE", 8))
     return _fused_vjp(
         edge_feats, a, types, valid, we, w_attn,
         num_nodes, num_types, node_tile, interpret,

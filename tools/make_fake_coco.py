@@ -20,6 +20,8 @@ def main():
     p.add_argument("--images", type=int, default=8)
     p.add_argument("--mode", default="val")
     p.add_argument("--size", type=int, default=256)
+    p.add_argument("--people", type=int, default=None,
+                   help="fixed people per image (default: random 1-4)")
     p.add_argument(
         "--flavor", default="coco", choices=["coco", "testdev", "ochuman"],
         help="coco: person_keypoints_<mode>2017; testdev: image_info JSON + "
@@ -41,7 +43,8 @@ def main():
     aid = 1
     for i in range(1, args.images + 1):
         w = h = args.size
-        kps, areas = random_scene(rng, input_size=args.size)
+        kps, areas = random_scene(rng, input_size=args.size,
+                                  n_people=args.people)
         img = render_image(kps, args.size, rng)
         fname = f"{i:012d}.jpg"
         Image.fromarray((img * 255).astype(np.uint8)).save(

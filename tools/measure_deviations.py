@@ -113,6 +113,8 @@ def main():
                 gc, heat, jnp.zeros_like(heat[..., :1]), jnp.zeros_like(heat),
                 joints_gt=kpts, factors=factors, testing=False,
             )
+            n_edges = gb.edge_valid.sum()
+            n_nodes = gb.node_valid.sum()
             persons, valid = decode_poses(
                 heat[0], jnp.zeros_like(heat[0]),
                 gb.joint_det, jnp.where(gb.node_valid, gb.node_labels, 0.0),
@@ -122,7 +124,7 @@ def main():
                 with_refine=False, with_adjust=True, with_fill_mean=False,
                 channels_last=True,
             )
-            return persons, valid
+            return persons, valid, n_edges, n_nodes
 
         return run
 
@@ -142,6 +144,7 @@ def main():
         gc = GCConfig.from_config(cfg)
         run = build_runner(gc)
         anns, ids = [], []
+        edge_counts, node_counts = [], []
         for i in range(n):
             img_id = int(eval_set.img_ids[i])
             ids.append(img_id)
@@ -169,10 +172,12 @@ def main():
             bh = -(-out_size[1] // 64) * 64
             bw = -(-out_size[0] // 64) * 64
             heat = render_heat(kpts[:pi], bh, bw, nj)
-            persons, valid = run(
+            persons, valid, n_edges, n_nodes = run(
                 jnp.asarray(heat)[None], jnp.asarray(kpts)[None],
                 jnp.asarray(factors)[None],
             )
+            edge_counts.append(int(n_edges))
+            node_counts.append(int(n_nodes))
             ann = persons_to_ann(
                 persons, valid, (w, h), input_size, img_id, "short",
                 scoring_method="correct",
@@ -187,7 +192,9 @@ def main():
         )
         writer.close()
         row = {**st, "AP": round(float(stats[0]), 4),
-               "AP50": round(float(stats[1]), 4)}
+               "AP50": round(float(stats[1]), 4),
+               "mean_edges": round(float(np.mean(edge_counts)), 1),
+               "mean_nodes": round(float(np.mean(node_counts)), 1)}
         results.append(row)
         print(json.dumps(row), flush=True)
     return results

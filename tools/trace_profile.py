@@ -62,7 +62,10 @@ def main():
     with open(pb, "rb") as f:
         raw = f.read()
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except ImportError:  # older env
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
 
     params = {"tqx": "out:csv;"}
     data_csv, _ = rtd.xspace_to_tool_data([pb], "framework_op_stats^", params)
