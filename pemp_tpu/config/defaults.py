@@ -252,11 +252,13 @@ _C.TPU = CN()
 _C.TPU.NODES_PER_TYPE = 40       # K: padded detections per joint type
 _C.TPU.KNN_K = 50                # matches reference knn_graph k (ConstructGraph.py:365)
 _C.TPU.TARGET_MAJOR = True       # blocked in-edge layout (dense aggregation)
-# capacity for asymmetric transpose in-edges per node. 32 keeps ~99.4% of the
-# reference edge set on realistic detection layouts (drops only edges into
-# >82-degree hubs) and cuts MPN edge compute ~18%. Set to KNN_K (or -1) for
-# the exact edge set.
-_C.TPU.KNN_CAP_IN = 32
+# capacity for asymmetric transpose in-edges per node. 30 keeps ~99.98% of
+# the reference edge set even on 25-person crowds (tools/measure_deviations:
+# AP unchanged to 4 decimals) and makes C = KNN_K + cap a multiple of 8 —
+# 8-aligned blocks turn the (E,.) <-> (N,C,.) layout transitions into free
+# bitcasts (+1.1 img/s on the w48/640 bench vs 32). Set to KNN_K (or -1)
+# for the exact edge set.
+_C.TPU.KNN_CAP_IN = 30
 _C.TPU.USE_PALLAS = True      # fused Pallas MPN kernel when on TPU
 # typed message projection strategy on the blocked layout:
 #   auto   — fused Pallas kernel on TPU (asymmetric cap layout);

@@ -424,7 +424,21 @@ class TypeAwareMPNLayer(nn.Module):
                     )                                                 # (E, H)
                 # repeat-add instead of reshape-add: the (E,H)->(N,C,H)
                 # reshape forces a column-major relayout copy (~0.7ms/step)
-                h = nn.relu(h_edge + jnp.repeat(h_node, self.blocked_c, axis=0))
+                # at C=82; with 8-aligned C the reshape is a free bitcast —
+                # PEMP_EDGE3D=1 selects the broadcast-add form for tuning
+                import os as _os
+
+                if (
+                    _os.environ.get("PEMP_EDGE3D") == "1"
+                    and self.blocked_c % 8 == 0
+                ):
+                    n_nodes_ = x.shape[0]
+                    h3 = h_edge.reshape(n_nodes_, self.blocked_c, -1)
+                    h = nn.relu(h3 + h_node[:, None, :]).reshape(h_edge.shape)
+                else:
+                    h = nn.relu(
+                        h_edge + jnp.repeat(h_node, self.blocked_c, axis=0)
+                    )
             else:
                 x_i = x[i]
                 x_j = x[j]

@@ -57,16 +57,24 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
     hot = (types == t_iota)
     hot_f = hot.astype(jnp.float32)
 
-    # one (nbc, De) @ (De, T*D) dot — a single wide MXU matmul instead of T
-    # small ones — then per-slot type selection with cheap VPU masking
-    b_all = jax.lax.dot_general(
-        ef, we_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                      # (nbc, T*D)
+    # typed edge-part projection in CHUNKS of types: each chunk is one wide
+    # MXU matmul + per-type VPU selection. Chunking bounds the live (nbc,
+    # chunk*D) intermediate so bigger node tiles fit the 16MB scoped-VMEM
+    # stack (a full (nbc, T*D) b_all at nb=16 alone needs 5.6MB and the tile
+    # OOMs at 22MB); FLOPs are unchanged.
     b_sel = jnp.zeros((nbc, d), jnp.float32)
-    for ti in range(t):
-        b_sel = b_sel + hot_f[:, ti:ti + 1] * b_all[:, ti * d:(ti + 1) * d]
+    tc = max(1, min(t, (2 * 1024 * 1024) // max(nbc * d * 4, 1)))
+    for t0 in range(0, t, tc):
+        t1 = min(t0 + tc, t)
+        b_chunk = jax.lax.dot_general(
+            ef, we_ref[:, t0 * d:t1 * d],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                  # (nbc, (t1-t0)*D)
+        for ti in range(t0, t1):
+            b_sel = b_sel + hot_f[:, ti:ti + 1] * b_chunk[
+                :, (ti - t0) * d:(ti - t0 + 1) * d
+            ]
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbt), 1)
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbt), 0)
@@ -285,7 +293,9 @@ def _fused_bwd_rule(num_nodes, num_types, node_tile, interpret, res, g):
     e, de = edge_feats.shape
     c = e // num_nodes
     d = a.shape[-1]
-    nb = _pick_tile(num_nodes, c, num_types, node_tile)
+    # the backward tile materializes dpre_aug (nbc, T*D) — keep it at the
+    # VMEM-safe nb=8 even when the forward runs bigger tiles
+    nb = _pick_tile(num_nodes, c, num_types, min(node_tile or 8, 8))
     grid = (num_nodes // nb,)
     heads = w_attn.shape[1]
 
