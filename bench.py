@@ -81,6 +81,10 @@ def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bf
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     model = build_pose_model(cfg, dtype=dtype)
+    if os.environ.get("BENCH_UNROLL"):
+        # flax dataclass attrs are frozen; mpn_cfg is a plain dict we can
+        # tune in place before init/jit
+        model.mpn_cfg["_SCAN_UNROLL"] = int(os.environ["BENCH_UNROLL"])
     imgs = jnp.zeros((batch_size, input_size, input_size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), imgs, train=False)
     num_joints = cfg.DATASET.NUM_JOINTS

@@ -265,6 +265,7 @@ _C.TPU.USE_PALLAS = True      # fused Pallas MPN kernel when on TPU
 #            reverse-permutation einsum on other backends
 #   einsum — reverse-permutation statically-type-blocked batched matmuls
 #            (zero type waste; forces the symmetric-truncation edge layout)
+#   hybrid — rev-perm einsum projection + slim aggregation kernel (TPU)
 #   pallas — fused Pallas message+aggregate kernel (all-types projection)
 #   dots   — plain all-types einsum + select (portable fallback)
 _C.TPU.MSG_PASS = "auto"

@@ -101,7 +101,7 @@ class GCConfig:
             use_neighbours=gc.USE_NEIGHBOURS,
             with_background=gc.WITH_BACKGROUND,
             mask_crowds=gc.MASK_CROWDS,
-            knn_symmetric=(msg_pass == "einsum"),
+            knn_symmetric=msg_pass in ("einsum", "hybrid"),
             matcher="greedy" if config.TPU.MATCHER == "greedy" else "auction",
             node_dropout=gc.NODE_DROPOUT,
             weight_class_loss=gc.WEIGHT_CLASS_LOSS,

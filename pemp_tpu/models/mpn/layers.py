@@ -409,11 +409,14 @@ class TypeAwareMPNLayer(nn.Module):
                 if di and xj_init is not None:
                     # skip-connection split: the init half of x_j is
                     # loop-invariant and pre-gathered; only the current half
-                    # is gathered per step (halves the gather bytes)
-                    xj_cur = x[:, di:][j]
+                    # is gathered per step (halves the gather bytes).
+                    # project the current half N-major BEFORE the gather:
+                    # (x @ W)[j] == x[j] @ W but the matmul shrinks from
+                    # E-major to N-major (C x fewer FLOPs, same gather bytes)
+                    xproj = x[:, di:].astype(self.dtype) @ k0[dn + di:2 * dn]
                     h_edge = (
                         xj_init.astype(self.dtype) @ k0[dn:dn + di]
-                        + xj_cur.astype(self.dtype) @ k0[dn + di:2 * dn]
+                        + xproj[j]
                         + edge_attr.astype(self.dtype) @ k0[2 * dn:]
                     )                                                 # (E, H)
                 else:
@@ -485,9 +488,6 @@ class TypeAwareMPNLayer(nn.Module):
             we = jnp.asarray(kernel[:, dn:], self.dtype)
             a = jnp.einsum("ni,tio->nto", x.astype(self.dtype), wn)
             a = a + jnp.asarray(bias, self.dtype)[None]
-            we_flat = jnp.transpose(we, (1, 0, 2)).reshape(
-                new_edge.shape[-1], self.num_types * self.node_feature_dim
-            )
             kt = pre.get("src_type2d")
             kv = pre.get("valid2d")
             if kt is None:
@@ -496,12 +496,41 @@ class TypeAwareMPNLayer(nn.Module):
                 kv = edge_valid if edge_valid is not None else jnp.ones(
                     new_edge.shape[0], bool
                 )
-            updates = fused_typed_message_aggregate(
-                new_edge.astype(self.dtype), a, kt, kv,
-                we_flat, jnp.asarray(ak, self.dtype),
-                num_nodes, self.num_types,
-                interpret=self.pallas_interpret,
-            )
+            rev_perm = pre.get("rev_perm")
+            if rev_perm is not None and self.raw_types and self.nodes_per_type:
+                # HYBRID: zero-waste typed projection outside (reverse-edge
+                # involution groups sources into static raw-type blocks) +
+                # slim in-kernel selection/softmax/aggregation. The in-kernel
+                # chunked all-types projection costs ~2.1ms/step of the full
+                # kernel's ~4.9ms at flagship shapes; this removes it.
+                from pemp_tpu.ops.pallas.fused_typed_message import (
+                    fused_attn_aggregate,
+                )
+
+                e = new_edge.shape[0]
+                jraw, kc = self.raw_types, self.nodes_per_type * self.blocked_c
+                sum_map = pre.get("type_sum_map")
+                wj = we if sum_map is None else jnp.take(we, sum_map, axis=0)
+                ne = new_edge.astype(self.dtype)
+                cperm = ne[rev_perm].reshape(e // (jraw * kc), jraw, kc, -1)
+                bsel = jnp.einsum("bjkd,jdf->bjkf", cperm, wj)
+                bsel = bsel.reshape(e, self.node_feature_dim)[rev_perm]
+                logits = ne @ jnp.asarray(ak, self.dtype)
+                updates = fused_attn_aggregate(
+                    bsel, a, kt, kv, logits,
+                    num_nodes, self.num_types,
+                    interpret=self.pallas_interpret,
+                )
+            else:
+                we_flat = jnp.transpose(we, (1, 0, 2)).reshape(
+                    new_edge.shape[-1], self.num_types * self.node_feature_dim
+                )
+                updates = fused_typed_message_aggregate(
+                    new_edge.astype(self.dtype), a, kt, kv,
+                    we_flat, jnp.asarray(ak, self.dtype),
+                    num_nodes, self.num_types,
+                    interpret=self.pallas_interpret,
+                )
             if self.update_type == "mlp":
                 flat = updates.reshape(num_nodes, -1)
                 out = nn.relu(

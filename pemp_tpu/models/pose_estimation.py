@@ -224,7 +224,9 @@ def build_pose_model(config, dtype=jnp.float32) -> PoseEstimationBaseline:
         msg_pass = config.TPU.MSG_PASS if "MSG_PASS" in config.TPU else "auto"
         if msg_pass == "auto":
             msg_pass = "einsum" if _jax.default_backend() != "tpu" else "pallas"
-        if msg_pass == "einsum" and mpn_cfg.get("_NODES_PER_TYPE"):
+        if msg_pass in ("einsum", "hybrid") and mpn_cfg.get("_NODES_PER_TYPE"):
+            # hybrid = rev_perm einsum projection + slim aggregation kernel;
+            # einsum = full jnp path (kernel off)
             mpn_cfg["_TYPED_EINSUM"] = True
         if msg_pass in ("einsum", "dots"):
             mpn_cfg["_USE_PALLAS"] = False

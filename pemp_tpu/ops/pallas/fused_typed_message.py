@@ -388,3 +388,242 @@ def _as_col_i32(x, rows):
     if x.ndim == 2 and x.dtype == jnp.int32:
         return x
     return x.astype(jnp.int32).reshape(rows, 1)
+
+
+# ---------------------------------------------------------------------------
+# Slim attention-aggregation kernel (hybrid message path): the typed edge
+# projection happens OUTSIDE (reverse-permutation blocked einsum — zero type
+# waste, see models.mpn.layers.TypeAwareSplitLinear), and this kernel fuses
+# only selection + ReLU + per-(node, type) softmax + weighted aggregation.
+# Micro-measured at flagship shapes (nb=8, C=80): the in-kernel chunked
+# typed projection costs ~2.1ms/step of the full kernel's ~4.9ms; the slim
+# kernel drops it entirely.
+# ---------------------------------------------------------------------------
+
+
+def _attn_tile(b_ref, a_ref, types_ref, valid_ref, logit_ref, *, nb, c, t, d):
+    nbc = nb * c
+    nbt = nb * t
+    b = b_ref[:].astype(jnp.float32)       # (nbc, D) typed projection
+    types = types_ref[:]                   # (nbc, 1)
+    valid = valid_ref[:]                   # (nbc, 1)
+    sel_dt = jnp.bfloat16 if a_ref.dtype == jnp.bfloat16 else jnp.float32
+    a = a_ref[:].astype(sel_dt)            # (nbt, D)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbt), 1)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbt), 0)
+    row_n = row_iota // t
+    row_t = row_iota - row_n * t
+    slot_n = slot_iota // c
+    sel = (row_n == slot_n) & (row_t == types)
+    a_sel = jax.lax.dot_general(
+        sel.astype(sel_dt), a,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (nbc, D)
+    pre = a_sel + b
+    m = jax.nn.relu(pre)
+
+    attn_col = logit_ref[:].astype(jnp.float32)   # (nbc, 1)
+    valid_f = valid.astype(jnp.float32)
+    attn_m = attn_col + (1.0 - valid_f) * _NEG
+    # (1, nbc) view of the logits via MXU transpose
+    attn_row = jax.lax.dot_general(
+        attn_col, jnp.ones((1, 1), jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    attn_row = jax.lax.dot_general(
+        jnp.ones((1, 1), jnp.float32), attn_row,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (1, nbc)
+
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (nbt, nbc), 0)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (nbt, nbc), 1)
+    rn = r_iota // t
+    rt = r_iota - rn * t
+    sn = s_iota // c
+    type_row = jax.lax.dot_general(
+        jnp.ones((nbt, 1), jnp.float32), types.astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    ok_f = ((rn == sn) & (type_row == rt)).astype(jnp.float32)
+
+    valid_row = jax.lax.dot_general(
+        jnp.ones((1, 1), jnp.float32), valid_f,
+        dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (1, nbc)
+    masked = ok_f * valid_row
+    scores = masked * attn_row + (1.0 - masked) * _NEG
+    row_max = jnp.max(scores, axis=1, keepdims=True)
+    row_max = jnp.where(row_max <= _NEG / 2, 0.0, row_max)
+    shift_col = jax.lax.dot_general(
+        ok_f, row_max, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    e_col = jnp.exp(attn_m - shift_col) * valid_f
+
+    nd = jax.lax.dot_general(
+        ok_f, jnp.concatenate([m * e_col, e_col], axis=1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    num, den = nd[:, :d], nd[:, d:d + 1]
+    out = num / jnp.maximum(den, 1e-16)
+    return m, e_col, den, out, ok_f, pre
+
+
+def _attn_kernel(b_ref, a_ref, types_ref, valid_ref, logit_ref, out_ref,
+                 *, nb, c, t, d):
+    out = _attn_tile(b_ref, a_ref, types_ref, valid_ref, logit_ref,
+                     nb=nb, c=c, t=t, d=d)[3]
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _attn_bwd_kernel(b_ref, a_ref, types_ref, valid_ref, logit_ref, g_ref,
+                     db_ref, da_ref, dlogit_ref, *, nb, c, t, d):
+    """Backward: db = dpre directly; da = sel^T-scatter of dpre (= ok @ dpre);
+    dlogit = rowsum(dm*m) - e*t2 (softmax backward)."""
+    m, e_col, den, out, ok_f, pre = _attn_tile(
+        b_ref, a_ref, types_ref, valid_ref, logit_ref, nb=nb, c=c, t=t, d=d
+    )
+    g = g_ref[:].astype(jnp.float32)
+    deninv = 1.0 / jnp.maximum(den, 1e-16)
+    ghat = g * deninv
+    q = jnp.sum(g * out, axis=1, keepdims=True) * deninv
+
+    tq = jax.lax.dot_general(
+        ok_f, jnp.concatenate([ghat, q], axis=1),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    t1, t2 = tq[:, :d], tq[:, d:d + 1]
+    dm = e_col * t1
+    dpre = dm * (pre > 0).astype(jnp.float32)
+    dlogit = jnp.sum(dm * m, axis=1, keepdims=True) - e_col * t2
+
+    db_ref[:] = dpre.astype(db_ref.dtype)
+    da_ref[:] = jax.lax.dot_general(
+        ok_f, dpre, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(da_ref.dtype)
+    dlogit_ref[:] = dlogit.astype(dlogit_ref.dtype)
+
+
+def fused_attn_aggregate(
+    b,            # (N*C, D) precomputed typed edge projection
+    a,            # (N, T, D) node-part incl. per-type bias
+    types,        # (N*C,) or (N*C, 1) source type per slot
+    valid,        # (N*C,) or (N*C, 1) slot validity
+    logits,       # (N*C,) or (N*C, 1) attention logits (ef @ w_attn)
+    num_nodes: int,
+    num_types: int,
+    node_tile: int | None = None,
+    interpret: bool = False,
+):
+    """Slim fused selection+softmax+aggregation; returns (N, T, D) float32.
+
+    Differentiable in (b, a, logits) via a backward Pallas kernel. The typed
+    projection and the attention logits are the caller's responsibility
+    (computed once per step as dense matmuls outside)."""
+    if node_tile is None:
+        import os
+
+        node_tile = int(os.environ.get("PEMP_NODE_TILE", 8))
+    return _attn_vjp(b, a, types, valid, logits,
+                     num_nodes, num_types, node_tile, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _attn_vjp(b, a, types, valid, logits, num_nodes, num_types, node_tile,
+              interpret):
+    return _attn_forward(b, a, types, valid, logits,
+                         num_nodes, num_types, node_tile, interpret)
+
+
+def _attn_fwd_rule(b, a, types, valid, logits, num_nodes, num_types,
+                   node_tile, interpret):
+    out = _attn_forward(b, a, types, valid, logits,
+                        num_nodes, num_types, node_tile, interpret)
+    return out, (b, a, types, valid, logits)
+
+
+def _attn_forward(b, a, types, valid, logits, num_nodes, num_types,
+                  node_tile, interpret):
+    e, d = b.shape
+    c = e // num_nodes
+    nb = _pick_tile(num_nodes, c, num_types, node_tile)
+    grid = (num_nodes // nb,)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, nb=nb, c=c, t=num_types, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb * c, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_nodes * num_types, d), jnp.float32),
+        interpret=interpret,
+    )(
+        b,
+        a.reshape(num_nodes * num_types, d),
+        _as_col_i32(types, e),
+        _as_col_i32(valid, e),
+        logits.astype(jnp.float32).reshape(e, 1),
+    )
+    return out.reshape(num_nodes, num_types, d)
+
+
+def _attn_bwd_rule(num_nodes, num_types, node_tile, interpret, res, g):
+    b, a, types, valid, logits = res
+    e, d = b.shape
+    c = e // num_nodes
+    nb = _pick_tile(num_nodes, c, num_types, node_tile)
+    grid = (num_nodes // nb,)
+    db, da, dlogit = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, nb=nb, c=c, t=num_types, d=d),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb * c, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((nb * c, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((e, d), jnp.float32),
+            jax.ShapeDtypeStruct((num_nodes * num_types, d), jnp.float32),
+            jax.ShapeDtypeStruct((e, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        b,
+        a.reshape(num_nodes * num_types, d),
+        _as_col_i32(types, e),
+        _as_col_i32(valid, e),
+        logits.astype(jnp.float32).reshape(e, 1),
+        g.astype(jnp.float32).reshape(num_nodes * num_types, d),
+    )
+    db = db.astype(b.dtype)
+    da = da.reshape(num_nodes, num_types, d).astype(a.dtype)
+    dlogit = dlogit.reshape(logits.shape).astype(logits.dtype)
+    d_types = np.zeros(types.shape, jax.dtypes.float0)
+    d_valid = np.zeros(valid.shape, jax.dtypes.float0)
+    return db, da, d_types, d_valid, dlogit
+
+
+_attn_vjp.defvjp(_attn_fwd_rule, _attn_bwd_rule)

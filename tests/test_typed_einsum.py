@@ -126,6 +126,56 @@ def test_split_linear_einsum_path_with_summary_map():
     )
 
 
+def test_slim_attn_kernel_grad_matches_jnp():
+    """Custom VJP of the slim aggregation kernel (hybrid path) vs autodiff
+    of an equivalent jnp formulation, in interpret mode."""
+    from pemp_tpu.ops.pallas.fused_typed_message import fused_attn_aggregate
+
+    rng = np.random.RandomState(9)
+    n, c, t, d = 16, 8, 4, 8
+    e = n * c
+    b = jnp.asarray(rng.randn(e, d), jnp.float32)
+    a = jnp.asarray(rng.randn(n, t, d), jnp.float32)
+    types = jnp.asarray(rng.randint(0, t, e), jnp.int32)
+    valid = jnp.asarray(rng.rand(e) > 0.2)
+    logits = jnp.asarray(rng.randn(e), jnp.float32)
+
+    def jnp_ref(b_, a_, l_):
+        dst = jnp.repeat(jnp.arange(n), c)
+        a_sel = a_.reshape(n * t, d)[dst * t + types]
+        m = jax.nn.relu(a_sel + b_)
+        from pemp_tpu.ops.segment import blocked_per_type_attention_aggregate
+
+        # weight by softmax within (node, type) groups over valid slots
+        return blocked_per_type_attention_aggregate(
+            m, l_, types, n, t, valid
+        )
+
+    def kern(b_, a_, l_):
+        return fused_attn_aggregate(
+            b_, a_, types, valid, l_, n, t, interpret=True
+        )
+
+    out_ref = jnp_ref(b, a, logits)
+    out_k = kern(b, a, logits)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+    )
+
+    def loss_ref(args):
+        return jnp.sum(jnp_ref(*args) ** 2)
+
+    def loss_k(args):
+        return jnp.sum(kern(*args) ** 2)
+
+    g_ref = jax.grad(loss_ref)((b, a, logits))
+    g_k = jax.grad(loss_k)((b, a, logits))
+    for gr, gk, name in zip(g_ref, g_k, ("db", "da", "dlogit")):
+        np.testing.assert_allclose(
+            np.asarray(gk), np.asarray(gr), rtol=1e-4, atol=1e-4, err_msg=name
+        )
+
+
 def test_flagship_msg_pass_einsum_matches_dots():
     """Full flagship MPN forward: MSG_PASS=einsum output == dots output."""
     from pemp_tpu.config import get_config, update_config
@@ -153,7 +203,7 @@ def test_flagship_msg_pass_einsum_matches_dots():
                                jnp.asarray(tags), testing=True)
 
     outs = {}
-    for mode in ("dots", "einsum"):
+    for mode in ("dots", "einsum", "hybrid"):
         mpn_cfg = mpn_cfg_from_config(cfg.MODEL.MPN)
         n_nodes = gc.num_joints * gc.nodes_per_type
         k_eff = min(gc.knn_k, max(n_nodes - 1, 1))
@@ -162,6 +212,12 @@ def test_flagship_msg_pass_einsum_matches_dots():
         mpn_cfg["_COLLECT_AUX"] = False
         if mode == "einsum":
             mpn_cfg["_TYPED_EINSUM"] = True
+        elif mode == "hybrid":
+            # rev-perm einsum projection + slim aggregation kernel
+            # (interpret mode: runs the Pallas kernel on CPU)
+            mpn_cfg["_TYPED_EINSUM"] = True
+            mpn_cfg["_USE_PALLAS"] = True
+            mpn_cfg["_PALLAS_INTERPRET"] = True
         model = get_mpn_model(mpn_cfg)
         variables = model.init(
             jax.random.PRNGKey(7), gb.x, gb.edge_attr, gb.edge_index,
@@ -175,19 +231,20 @@ def test_flagship_msg_pass_einsum_matches_dots():
         )
 
     ev = np.asarray(gb.edge_valid)
-    np.testing.assert_allclose(
-        np.asarray(outs["einsum"]["edge"][-1])[ev],
-        np.asarray(outs["dots"]["edge"][-1])[ev],
-        rtol=2e-4, atol=2e-4,
-    )
     nv = np.asarray(gb.node_valid)
-    np.testing.assert_allclose(
-        np.asarray(outs["einsum"]["node"][-1])[nv],
-        np.asarray(outs["dots"]["node"][-1])[nv],
-        rtol=2e-4, atol=2e-4,
-    )
-    np.testing.assert_allclose(
-        np.asarray(outs["einsum"]["class"][-1])[nv],
-        np.asarray(outs["dots"]["class"][-1])[nv],
-        rtol=2e-4, atol=2e-4,
-    )
+    for mode in ("einsum", "hybrid"):
+        np.testing.assert_allclose(
+            np.asarray(outs[mode]["edge"][-1])[ev],
+            np.asarray(outs["dots"]["edge"][-1])[ev],
+            rtol=2e-4, atol=2e-4, err_msg=mode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[mode]["node"][-1])[nv],
+            np.asarray(outs["dots"]["node"][-1])[nv],
+            rtol=2e-4, atol=2e-4, err_msg=mode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs[mode]["class"][-1])[nv],
+            np.asarray(outs["dots"]["class"][-1])[nv],
+            rtol=2e-4, atol=2e-4, err_msg=mode,
+        )
