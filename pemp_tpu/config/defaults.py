@@ -269,6 +269,9 @@ _C.TPU.USE_PALLAS = True      # fused Pallas MPN kernel when on TPU
 #   pallas — fused Pallas message+aggregate kernel (all-types projection)
 #   dots   — plain all-types einsum + select (portable fallback)
 _C.TPU.MSG_PASS = "auto"
+# MPN scan unroll: -1 = full unroll on TPU / rolled on other backends;
+# 1 = rolled; N = unroll factor
+_C.TPU.SCAN_UNROLL = -1
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 _C.TPU.MESH_DATA = -1            # -1: all devices on the data axis
 _C.TPU.MATCHER = "hungarian"     # label matching: hungarian | greedy

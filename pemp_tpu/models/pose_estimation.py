@@ -230,6 +230,16 @@ def build_pose_model(config, dtype=jnp.float32) -> PoseEstimationBaseline:
             mpn_cfg["_TYPED_EINSUM"] = True
         if msg_pass in ("einsum", "dots"):
             mpn_cfg["_USE_PALLAS"] = False
+        unroll_cfg = config.TPU.SCAN_UNROLL if "SCAN_UNROLL" in config.TPU else -1
+        if unroll_cfg < 0:
+            # full unroll on TPU (XLA hoists the loop-invariant edge-MLP
+            # halves: +3.7 img/s); rolled elsewhere to keep CPU test compiles
+            # fast
+            mpn_cfg["_SCAN_UNROLL"] = (
+                config.MODEL.MPN.STEPS if _jax.default_backend() == "tpu" else 1
+            )
+        elif unroll_cfg > 1:
+            mpn_cfg["_SCAN_UNROLL"] = unroll_cfg
     if "COLLECT_AUX" in config.TPU:
         mpn_cfg["_COLLECT_AUX"] = bool(config.TPU.COLLECT_AUX)
     return PoseEstimationBaseline(
