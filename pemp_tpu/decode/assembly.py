@@ -185,17 +185,47 @@ def refine_ae(scoremaps, tagmaps, persons, person_valid, channels_last=False):
         y = y + jnp.where(down > up, 0.25, -0.25)
         return jnp.stack([x, y, val], axis=-1)  # (J, 3)
 
-    # chunked vmap: parallel enough to fill the VPU, bounded peak memory
-    # (full vmap would materialize P x (J, H, W) workspaces at once — heavy
-    # at full-res TTA canvases; fully sequential lax.map is latency-bound)
     p = mean_tag.shape[0]
-    chunk = max(1, min(p, int(64 * 1024 * 1024 / max(tagmaps.size * 4, 1))))
-    while p % chunk:
-        chunk -= 1
-    ans = jax.lax.map(
-        jax.vmap(per_person), mean_tag.reshape(p // chunk, chunk, -1)
-    )
-    ans = ans.reshape(p, j, 3)
+    if channels_last:
+        # joint-major loop, fully person-vectorized: each of the J iterations
+        # works on a (P, H, W) slab (~P*HW*4 bytes) instead of the person-
+        # chunked (chunk, H, W, J) slabs — smaller live set, better fusion
+        sm_hwj = scoremaps  # (H, W, J)
+
+        def per_joint(ji):
+            tj = jax.lax.dynamic_index_in_dim(tagmaps, ji, 2)       # (H, W, 1, S) -> squeeze
+            tj = tj[:, :, 0, :]                                      # (H, W, S)
+            smj = jax.lax.dynamic_index_in_dim(sm_hwj, ji, 2)[:, :, 0]  # (H, W)
+            diff = tj[None] - mean_tag[:, None, None, :]             # (P, H, W, S)
+            tt = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 0.0))
+            tmp2 = smj[None] - jnp.round(tt)                         # (P, H, W)
+            idx = jnp.argmax(tmp2.reshape(p, h * w), axis=1).astype(jnp.int32)
+            yy, xx = idx // w, idx % w
+            val = smj[yy, xx]
+            x = xx.astype(jnp.float32) + 0.5
+            y = yy.astype(jnp.float32) + 0.5
+            right = smj[yy, jnp.minimum(xx + 1, w - 1)]
+            left = smj[yy, jnp.maximum(xx - 1, 0)]
+            x = x + jnp.where(right > left, 0.25, -0.25)
+            down = smj[jnp.minimum(yy + 1, h - 1), xx]
+            up = smj[jnp.maximum(yy - 1, 0), xx]
+            y = y + jnp.where(down > up, 0.25, -0.25)
+            return jnp.stack([x, y, val], axis=-1)                   # (P, 3)
+
+        ans = jax.lax.map(per_joint, jnp.arange(j, dtype=jnp.int32))  # (J, P, 3)
+        ans = jnp.transpose(ans, (1, 0, 2))                           # (P, J, 3)
+    else:
+        # chunked vmap: parallel enough to fill the VPU, bounded peak memory
+        # (full vmap would materialize P x (J, H, W) workspaces at once —
+        # heavy at full-res TTA canvases; fully sequential lax.map is
+        # latency-bound)
+        chunk = max(1, min(p, int(64 * 1024 * 1024 / max(tagmaps.size * 4, 1))))
+        while p % chunk:
+            chunk -= 1
+        ans = jax.lax.map(
+            jax.vmap(per_person), mean_tag.reshape(p // chunk, chunk, -1)
+        )
+        ans = ans.reshape(p, j, 3)
     add = (~present) & (ans[:, :, 2] > 0) & person_valid[:, None]
     new_xy = jnp.where(add[..., None], ans[:, :, :2], persons[:, :, :2])
     new_s = jnp.where(add, 1e-3, persons[:, :, 2])

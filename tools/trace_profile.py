@@ -67,43 +67,30 @@ def main():
     except ImportError:  # older env
         from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
 
-    params = {"tqx": "out:csv;"}
-    data_csv, _ = rtd.xspace_to_tool_data([pb], "framework_op_stats^", params)
-    if isinstance(data_csv, bytes):
-        data_csv = data_csv.decode()
-    rows = list(csv.DictReader(io.StringIO(data_csv)))
-    if not rows:
-        print("empty op stats", file=sys.stderr)
+    data, _ = rtd.xspace_to_tool_data([pb], "framework_op_stats", {})
+    tab = json.loads(data)
+    tab = tab[0] if isinstance(tab, list) else tab
+    cols = [c["id"] for c in tab["cols"]]
+    rows = [dict(zip(cols, [c.get("v") for c in r["c"]])) for r in tab["rows"]]
+    dev = [
+        r for r in rows
+        if str(r.get("host_or_device", "")).lower().startswith("d")
+    ]
+    if not dev:
+        print("no device rows", file=sys.stderr)
         return 1
-
-    def f(v):
-        try:
-            return float(v)
-        except (TypeError, ValueError):
-            return 0.0
-
-    # column names vary across plugin versions; probe
-    cols = rows[0].keys()
-    time_col = next(
-        (c for c in cols if "total_self_time" in c.lower() or
-         c.lower() in ("total self time (us)", "self time (us)", "self_time")),
-        None,
-    )
-    occ_col = next((c for c in cols if "occurrence" in c.lower()), None)
-    name_col = next((c for c in cols if c.lower() in ("operation", "op name", "op_name", "name")), None)
-    if time_col is None or name_col is None:
-        print(f"unrecognized columns: {list(cols)}", file=sys.stderr)
-        print(json.dumps(rows[:3], indent=1))
-        return 1
-    rows.sort(key=lambda r: -f(r[time_col]))
-    total = sum(f(r[time_col]) for r in rows)
-    print(f"total self time: {total/1e3:.2f} ms over {args.iters} iters "
-          f"({total/1e3/args.iters:.2f} ms/iter)")
-    print(f"{'self_us':>12} {'%':>5} {'n':>5}  op")
-    for r in rows[: args.top]:
-        t = f(r[time_col])
-        n = int(f(r[occ_col])) if occ_col else -1
-        print(f"{t:12.0f} {100*t/max(total,1e-9):5.1f} {n:5d}  {r[name_col][:110]}")
+    dev.sort(key=lambda r: -(r.get("total_self_time") or 0))
+    total = sum(r.get("total_self_time") or 0 for r in dev)
+    print(f"total device self time: {total/1e3:.2f} ms over {args.iters} "
+          f"iters ({total/1e3/args.iters:.2f} ms/iter)")
+    print(f"{'self_us':>12} {'%':>5} {'n':>6}  type / op")
+    for r in dev[: args.top]:
+        t = r.get("total_self_time") or 0
+        n = int(r.get("occurrences") or 0)
+        print(
+            f"{t:12.0f} {100*t/max(total,1e-9):5.1f} {n:6d}  "
+            f"{str(r.get('type'))[:22]:22s} {str(r.get('operation'))[:95]}"
+        )
     return 0
 
 
