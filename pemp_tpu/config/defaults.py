@@ -273,6 +273,10 @@ _C.TPU.MSG_PASS = "auto"
 # 1 = rolled; N = unroll factor
 _C.TPU.SCAN_UNROLL = -1
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
+# eval-only space-to-depth HRNet deconv branch (exact; 2x2 convs at half
+# resolution / 4x channels map ~31% faster onto the MXU than the 3x3
+# full-resolution originals): -1 = on when running on TPU, 0 = off, 1 = on
+_C.TPU.S2D_DECONV = -1
 _C.TPU.MESH_DATA = -1            # -1: all devices on the data axis
 _C.TPU.MATCHER = "hungarian"     # label matching: hungarian | greedy
 _C.TPU.DECODE_ON_DEVICE = True   # grouping/refine/adjust inside jit

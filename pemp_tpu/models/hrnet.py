@@ -25,6 +25,176 @@ import jax.numpy as jnp
 BN_MOMENTUM = 0.1  # torch convention; flax momentum = 1 - 0.1
 
 
+# ---------------------------------------------------------------------------
+# Space-to-depth deconv branch (TPU eval path)
+#
+# The deconv branch's 3x3 stride-1 convs at full output resolution (e.g.
+# 48ch @ 320px for w48/640) run at ~40% of their MXU mapping: N=48 output
+# channels fill 48/128 of the output lanes. The same computation expressed on
+# the space-to-depth grid — 2x2 convs over 4x the channels at half the
+# resolution — measures 31% faster per conv on TPU despite carrying 16/9 the
+# FLOPs (the 2x2 x 4C x 4C kernel embeds the 3x3 x C x C taps with 36/64
+# structural density).
+#
+# Exactness: a 3x3 SAME conv maps to a 2x2 conv on the s2d grid whose output
+# is shifted by +1 original pixel per spatial dim (output s2d row t, phase p
+# holds original row 2t + p - S with the shift S growing by 1 per conv); the
+# k4 s2 p1 ConvTranspose maps to a 2x2 conv from the coarse grid with the
+# same +1 shift. Residual adds re-align by a one-s2d-pixel pad/slice (a
+# BasicBlock's two convs shift by exactly one s2d pixel). Each conv's zero
+# padding is emulated by masking entries whose original coordinate falls
+# outside the image before every conv (eval BatchNorm's bias leaks nonzeros
+# into the out-of-image halo otherwise). The cumulative shift is undone by
+# the final depth-to-space slice. BN at eval folds to a per-channel affine,
+# replicated across the four phases.
+# ---------------------------------------------------------------------------
+
+
+class _ConvKernelParams(nn.Module):
+    """Raw conv kernel under the same scope layout as nn.Conv/nn.ConvTranspose
+    (use_bias=False), so the s2d eval path shares checkpoints with the
+    standard path."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+
+
+class _BNStatParams(nn.Module):
+    """BatchNorm params + running stats under nn.BatchNorm's scope layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
+class _BasicBlockParams(nn.Module):
+    """Param holders matching BasicBlock's children (stride 1, no downsample)."""
+
+    planes: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.planes
+        return {
+            "conv1": _ConvKernelParams((3, 3, c, c), name="conv1")(),
+            "bn1": _BNStatParams(c, name="bn1")(),
+            "conv2": _ConvKernelParams((3, 3, c, c), name="conv2")(),
+            "bn2": _BNStatParams(c, name="bn2")(),
+        }
+
+
+def _s2d_conv3_kernel(w3):
+    """(3,3,ci,co) SAME conv -> (2,2,4ci,4co) s2d conv, +1px output shift.
+
+    Channel packing is phase-major: index (py*2+px)*C + c. Output s2d row t,
+    phase p reads input window rows [t-1, t]; tap (w, q) of output phase p
+    carries original offset dy = 2w + q - 1 - p (zero outside [-1, 1])."""
+    ci, co = w3.shape[2], w3.shape[3]
+    zero = jnp.zeros((ci, co), w3.dtype)
+    rows = []
+    for wy in range(2):
+        cols = []
+        for wx in range(2):
+            inblocks = []
+            for qy in range(2):
+                for qx in range(2):
+                    outblocks = []
+                    for py in range(2):
+                        for px in range(2):
+                            dy = 2 * wy + qy - 1 - py
+                            dx = 2 * wx + qx - 1 - px
+                            ok = -1 <= dy <= 1 and -1 <= dx <= 1
+                            outblocks.append(w3[dy + 1, dx + 1] if ok else zero)
+                    inblocks.append(jnp.concatenate(outblocks, axis=1))
+            cols.append(jnp.concatenate(inblocks, axis=0))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)  # (2, 2, 4ci, 4co)
+
+
+def _s2d_deconv4_kernel(wt):
+    """torch ConvTranspose2d k4 s2 p1 kernel (stored (4,4,out,in)) -> the
+    equivalent (2,2,ci,4co) conv from the coarse grid, +1px output shift.
+
+    Output s2d row t phase p holds original row 2t - 1 + p and reads coarse
+    window rows [t-1, t]; tap w of phase p uses kernel index p - 2w + 2."""
+    outs = []
+    for wy in range(2):
+        row = []
+        for wx in range(2):
+            blocks = []
+            for py in range(2):
+                for px in range(2):
+                    blocks.append(
+                        jnp.transpose(wt[py - 2 * wy + 2, px - 2 * wx + 2], (1, 0))
+                    )
+            row.append(jnp.concatenate(blocks, axis=1))  # (ci, 4co)
+        outs.append(jnp.stack(row))
+    return jnp.stack(outs)  # (2, 2, ci, 4co)
+
+
+def _s2d_conv(x, kernel, pad_y, pad_x):
+    """2x2 VALID conv, NHWC, with explicit (top,bot)/(left,right) padding."""
+    import jax
+
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1),
+        padding=(pad_y, pad_x),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _s2d_phase_mask(rows, shift, hw):
+    """(rows, 2) {0,1}: original coord 2t + p - shift inside [0, hw)."""
+    t = jnp.arange(rows)[:, None]
+    p = jnp.arange(2)[None, :]
+    f = 2 * t + p - shift
+    return ((f >= 0) & (f < hw)).astype(jnp.float32)
+
+
+def _s2d_mask_apply(x, shift, hh, ww, channels):
+    """Zero entries whose original coordinate is outside the image (emulates
+    the per-conv zero padding of the full-resolution formulation)."""
+    b, rh, rw, _ = x.shape
+    my = _s2d_phase_mask(rh, shift, hh).astype(x.dtype)
+    mx = _s2d_phase_mask(rw, shift, ww).astype(x.dtype)
+    xv = x.reshape(b, rh, rw, 2, 2, channels)
+    xv = xv * my[None, :, None, :, None, None] * mx[None, None, :, None, :, None]
+    return xv.reshape(b, rh, rw, 4 * channels)
+
+
+def _s2d_bn_relu(x, bn_params, dtype, relu=True):
+    """Eval BatchNorm folded to an affine, phase-replicated 4x, then ReLU."""
+    scale, bias, mean, var = bn_params
+    g = scale / jnp.sqrt(var + 1e-5)
+    b = bias - mean * g
+    g4 = jnp.tile(g, 4).astype(dtype)
+    b4 = jnp.tile(b, 4).astype(dtype)
+    y = x * g4 + b4
+    return nn.relu(y) if relu else y
+
+
+def _d2s_extract(x, shift, hh, ww, channels):
+    """Depth-to-space and slice off the accumulated shift: returns the
+    (B, hh, ww, C) full-resolution tensor."""
+    b, rh, rw, _ = x.shape
+    xv = x.reshape(b, rh, rw, 2, 2, channels)
+    xv = jnp.transpose(xv, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * rh, 2 * rw, channels)
+    return xv[:, shift:shift + hh, shift:shift + ww]
+
+
 def _bn(dtype, name=None):
     return nn.BatchNorm(
         use_running_average=None,
@@ -196,6 +366,9 @@ class HRNetSpec:
     deconv_cat_output: tuple = (True,)
     with_ae_loss: tuple = (True, False)
     feature_fusion: str = "avg"
+    # eval-only space-to-depth deconv branch (TPU perf; exact — see the
+    # s2d helper block above). Enabled by build_pose_model on TPU.
+    s2d_eval: bool = False
 
     @classmethod
     def from_config(cls, config) -> "HRNetSpec":
@@ -230,6 +403,45 @@ class PoseHigherResolutionNet(nn.Module):
 
     spec: HRNetSpec
     dtype: Any = jnp.float32
+
+    def _deconv_branch_s2d(self, x, i):
+        """Space-to-depth eval form of deconv stage ``i``: ConvTranspose +
+        BasicBlocks as 2x2 convs on the half-resolution grid (4x channels),
+        exact vs the standard branch (see the s2d helper block). Reads the
+        same params as the standard modules via param holders."""
+        spec, dt = self.spec, self.dtype
+        c = spec.deconv_channels[i]
+        b, hc, wc, ci = x.shape
+        hh, ww = 2 * hc, 2 * wc
+        nblk = spec.deconv_num_basic_blocks
+        s_final = 1 + 2 * nblk
+        # rows needed to cover original coords [0, hh) at the final shift,
+        # rounded up to the f32 sublane tile
+        rh = -(-(hc + 1 + (s_final - 1) // 2) // 8) * 8
+        rw = -(-(wc + 1 + (s_final - 1) // 2) // 8) * 8
+
+        wt = _ConvKernelParams((4, 4, c, ci), name=f"deconv_{i}_conv")()
+        k2 = _s2d_deconv4_kernel(jnp.asarray(wt, dt))
+        h = _s2d_conv(x.astype(dt), k2, (1, rh - hc), (1, rw - wc))
+        bn = _BNStatParams(c, name=f"deconv_{i}_bn")()
+        h = _s2d_bn_relu(h, bn, dt)
+        shift = 1
+        for kblk in range(nblk):
+            p = _BasicBlockParams(c, name=f"deconv_{i}_block{kblk}")()
+            hm = _s2d_mask_apply(h, shift, hh, ww, c)
+            t = _s2d_conv(
+                hm, _s2d_conv3_kernel(jnp.asarray(p["conv1"], dt)), (1, 0), (1, 0)
+            )
+            t = _s2d_bn_relu(t, p["bn1"], dt)
+            t = _s2d_mask_apply(t, shift + 1, hh, ww, c)
+            t = _s2d_conv(
+                t, _s2d_conv3_kernel(jnp.asarray(p["conv2"], dt)), (1, 0), (1, 0)
+            )
+            t = _s2d_bn_relu(t, p["bn2"], dt, relu=False)
+            res = jnp.pad(hm, ((0, 0), (1, 0), (1, 0), (0, 0)))[:, :rh, :rw, :]
+            h = nn.relu(t + res)
+            shift += 2
+        return _d2s_extract(h, shift, hh, ww, c)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -306,23 +518,31 @@ class PoseHigherResolutionNet(nn.Module):
         for i in range(spec.num_deconvs):
             if spec.deconv_cat_output[i]:
                 x = jnp.concatenate([x, y], axis=-1)
-            # ConvTranspose k4 s2 p1 == exact 2x upsample (hrnet.py:354-365)
-            # transpose_kernel=True matches torch ConvTranspose2d semantics
-            # (gradient-of-conv; kernel stored (k, k, out, in))
-            x = nn.ConvTranspose(
-                spec.deconv_channels[i],
-                (spec.deconv_kernel[i],) * 2,
-                strides=(2, 2),
-                padding="SAME",
-                transpose_kernel=True,
-                use_bias=False,
-                dtype=dt,
-                name=f"deconv_{i}_conv",
-            )(x)
-            x = _bn(dt, f"deconv_{i}_bn")(x, use_running_average=not train)
-            x = nn.relu(x)
-            for k in range(spec.deconv_num_basic_blocks):
-                x = BasicBlock(spec.deconv_channels[i], dtype=dt, name=f"deconv_{i}_block{k}")(x, train)
+            use_s2d = (
+                spec.s2d_eval
+                and not train
+                and spec.deconv_kernel[i] == 4
+            )
+            if use_s2d:
+                x = self._deconv_branch_s2d(x, i)
+            else:
+                # ConvTranspose k4 s2 p1 == exact 2x upsample (hrnet.py:354-365)
+                # transpose_kernel=True matches torch ConvTranspose2d semantics
+                # (gradient-of-conv; kernel stored (k, k, out, in))
+                x = nn.ConvTranspose(
+                    spec.deconv_channels[i],
+                    (spec.deconv_kernel[i],) * 2,
+                    strides=(2, 2),
+                    padding="SAME",
+                    transpose_kernel=True,
+                    use_bias=False,
+                    dtype=dt,
+                    name=f"deconv_{i}_conv",
+                )(x)
+                x = _bn(dt, f"deconv_{i}_bn")(x, use_running_average=not train)
+                x = nn.relu(x)
+                for k in range(spec.deconv_num_basic_blocks):
+                    x = BasicBlock(spec.deconv_channels[i], dtype=dt, name=f"deconv_{i}_block{k}")(x, train)
             out_ch = (
                 spec.num_joints + dim_tag if spec.with_ae_loss[i + 1] else spec.num_joints
             )

@@ -184,6 +184,15 @@ def build_pose_model(config, dtype=jnp.float32) -> PoseEstimationBaseline:
     hg_cfg = None
     if backbone_name in ("hrnet", "mmpose_hrnet"):
         hrnet_spec = HRNetSpec.from_config(config)
+        s2d = config.TPU.S2D_DECONV if "S2D_DECONV" in config.TPU else -1
+        if s2d < 0:
+            import jax as _jx
+
+            s2d = 1 if _jx.default_backend() == "tpu" else 0
+        if s2d:
+            import dataclasses as _dc
+
+            hrnet_spec = _dc.replace(hrnet_spec, s2d_eval=True)
     else:
         hg_cfg = (
             config.MODEL.HG.NSTACK,
