@@ -32,6 +32,49 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
+def _sel_ok_masks(types, *, nb, c, t):
+    """Build the slot->row selection mask ``sel`` (nbc, nbt) and its
+    transpose ``ok`` (nbt, nbc) — sel[s, r] = 1 iff slot s belongs to row
+    r's node AND has row r's type — WITHOUT materializing full-size
+    (nbc, nbt) i32 iotas.
+
+    Rows r = n*T + t factor into (node, type), so both masks are products
+    of a static node-block factor and a data-dependent type factor, each
+    expressible as a small one-hot matmul: the only (nbc, nbt)-sized
+    arrays ever live are the two f32 factors and their product. The naive
+    iota formulation materializes 4-5 (nbc, nbt)/(nbt, nbc) i32 arrays,
+    which is what pushed the node_tile=16 VMEM stack peak to ~22MB.
+    """
+    nbc = nb * c
+    nbt = nb * t
+    # hot[s, t'] = (types[s] == t')  — (nbc, T), small
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, t), 1)
+    hot_f = (types == t_iota).astype(jnp.float32)
+    # U[s, n] = (s // c == n) — (nbc, nb), small static
+    u_row = jax.lax.broadcasted_iota(jnp.int32, (nbc, nb), 0) // c
+    u_col = jax.lax.broadcasted_iota(jnp.int32, (nbc, nb), 1)
+    u = (u_row == u_col).astype(jnp.float32)
+    # E1[n, r] = (r // T == n); E2[t', r] = (r % T == t') — static, tiny
+    e1_row = jax.lax.broadcasted_iota(jnp.int32, (nb, nbt), 0)
+    e1_col = jax.lax.broadcasted_iota(jnp.int32, (nb, nbt), 1) // t
+    e1 = (e1_row == e1_col).astype(jnp.float32)
+    e2_row = jax.lax.broadcasted_iota(jnp.int32, (t, nbt), 0)
+    e2_col = jax.lax.broadcasted_iota(jnp.int32, (t, nbt), 1) % t
+    e2 = (e2_row == e2_col).astype(jnp.float32)
+
+    def _mm(x, y, contract):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=((contract), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # sel = (node match) * (type match): two (nbc, nbt) f32 factors
+    sel = _mm(u, e1, ((1,), (0,))) * _mm(hot_f, e2, ((1,), (0,)))
+    # ok = sel^T, built from the transposed factors (no big-identity dot)
+    ok = _mm(e1, u, ((0,), (1,))) * _mm(e2, hot_f, ((0,), (1,)))
+    return hot_f, sel, ok
+
+
 def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
                   *, nb, c, t, d):
     """Shared per-tile math with a *factored* softmax: exp is taken per slot
@@ -53,9 +96,7 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
     sel_dt = jnp.bfloat16 if a_ref.dtype == jnp.bfloat16 else jnp.float32
     a = a_ref[:].astype(sel_dt)           # (nbt, D)
 
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, t), 1)
-    hot = (types == t_iota)
-    hot_f = hot.astype(jnp.float32)
+    hot_f, sel, ok_f = _sel_ok_masks(types, nb=nb, c=c, t=t)
 
     # typed edge-part projection in CHUNKS of types: each chunk is one wide
     # MXU matmul + per-type VPU selection. Chunking bounds the live (nbc,
@@ -76,12 +117,6 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
                 :, (ti - t0) * d:(ti - t0 + 1) * d
             ]
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbt), 1)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbt), 0)
-    row_n = row_iota // t
-    row_t = row_iota - row_n * t
-    slot_n = slot_iota // c
-    sel = (row_n == slot_n) & (row_t == types)  # (nbc, nbt)
     a_sel = jax.lax.dot_general(
         sel.astype(sel_dt), a,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -104,19 +139,7 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
     )                                      # (nbc, 1)
     valid_f = valid.astype(jnp.float32)    # (nbc, 1)
     attn_m = attn_col + (1.0 - valid_f) * _NEG
-
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (nbt, nbc), 0)
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (nbt, nbc), 1)
-    rn = r_iota // t
-    rt = r_iota - rn * t
-    sn = s_iota // c
-    type_row = jax.lax.dot_general(
-        jnp.ones((nbt, 1), jnp.float32), types.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
-    ok = (rn == sn) & (type_row == rt)
-    ok_f = ok.astype(jnp.float32)          # (nbt, nbc); validity lives in e_col
+    # ok_f (nbt, nbc) built by _sel_ok_masks; validity lives in e_col
 
     # per-(node, type)-row max shift: the softmax groups PARTITION the slots
     # (each slot has one node and one type), so scattering each row's max
@@ -410,12 +433,7 @@ def _attn_tile(b_ref, a_ref, types_ref, valid_ref, logit_ref, *, nb, c, t, d):
     sel_dt = jnp.bfloat16 if a_ref.dtype == jnp.bfloat16 else jnp.float32
     a = a_ref[:].astype(sel_dt)            # (nbt, D)
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbt), 1)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, nbt), 0)
-    row_n = row_iota // t
-    row_t = row_iota - row_n * t
-    slot_n = slot_iota // c
-    sel = (row_n == slot_n) & (row_t == types)
+    _hot_f, sel, ok_f = _sel_ok_masks(types, nb=nb, c=c, t=t)
     a_sel = jax.lax.dot_general(
         sel.astype(sel_dt), a,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -429,27 +447,10 @@ def _attn_tile(b_ref, a_ref, types_ref, valid_ref, logit_ref, *, nb, c, t, d):
     attn_m = attn_col + (1.0 - valid_f) * _NEG
     # (1, nbc) view of the logits via MXU transpose
     attn_row = jax.lax.dot_general(
-        attn_col, jnp.ones((1, 1), jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    attn_row = jax.lax.dot_general(
-        jnp.ones((1, 1), jnp.float32), attn_row,
+        jnp.ones((1, 1), jnp.float32), attn_col,
         dimension_numbers=(((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                      # (1, nbc)
-
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (nbt, nbc), 0)
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (nbt, nbc), 1)
-    rn = r_iota // t
-    rt = r_iota - rn * t
-    sn = s_iota // c
-    type_row = jax.lax.dot_general(
-        jnp.ones((nbt, 1), jnp.float32), types.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
-    ok_f = ((rn == sn) & (type_row == rt)).astype(jnp.float32)
 
     valid_row = jax.lax.dot_general(
         jnp.ones((1, 1), jnp.float32), valid_f,

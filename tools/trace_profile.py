@@ -23,6 +23,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# must be set before jax import to share bench.py's persistent compilation
+# cache (bench sets it too, but only when imported before jax)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+)
+
 import numpy as np
 
 
