@@ -75,7 +75,7 @@ def _sel_ok_masks(types, *, nb, c, t):
     return hot_f, sel, ok
 
 
-def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
+def _tile_forward(ef, a_in, types, valid, we_ref, wa_ref,
                   *, nb, c, t, d):
     """Shared per-tile math with a *factored* softmax: exp is taken per slot
     against that slot's own (node, type)-row max (the softmax groups
@@ -87,14 +87,13 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
     """
     nbc = nb * c
     nbt = nb * t
-    ef = ef_ref[:]                        # (nbc, De)
-    types = types_ref[:]                  # (nbc, 1) int32
-    valid = valid_ref[:]                  # (nbc, 1) int32
+    # ef (nbc, De); types/valid (nbc, 1) int32 — values, pre-sliced by the
+    # caller so one grid step can process several nb-sized sub-tiles
     # the one-hot selection matmul keeps the input's precision: with bf16
     # inputs (the model path) the 0/1 selection runs at 4x the f32 MXU rate
     # and is exact w.r.t. the bf16 values; f32 inputs keep the f32 dot
-    sel_dt = jnp.bfloat16 if a_ref.dtype == jnp.bfloat16 else jnp.float32
-    a = a_ref[:].astype(sel_dt)           # (nbt, D)
+    sel_dt = jnp.bfloat16 if a_in.dtype == jnp.bfloat16 else jnp.float32
+    a = a_in.astype(sel_dt)               # (nbt, D)
 
     hot_f, sel, ok_f = _sel_ok_masks(types, nb=nb, c=c, t=t)
 
@@ -174,11 +173,21 @@ def _tile_forward(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref,
 
 
 def _kernel(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, out_ref,
-            *, nb, c, t, d):
-    out = _tile_forward(
-        ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, nb=nb, c=c, t=t, d=d
-    )[4]
-    out_ref[:] = out.astype(out_ref.dtype)
+            *, nb, c, t, d, sub=1):
+    # one grid step handles `sub` independent nb-node sub-tiles: amortizes
+    # the fixed per-grid-step cost (the kernel is tile-overhead bound at
+    # nb=8) while every intermediate keeps nb=8 shapes — bigger node tiles
+    # (nb=16) blow up the Mosaic compile instead
+    for s in range(sub):
+        nc, nt = s * nb * c, s * nb * t
+        out = _tile_forward(
+            ef_ref[nc:nc + nb * c],
+            a_ref[nt:nt + nb * t],
+            types_ref[nc:nc + nb * c],
+            valid_ref[nc:nc + nb * c],
+            we_ref, wa_ref, nb=nb, c=c, t=t, d=d,
+        )[4]
+        out_ref[nt:nt + nb * t] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, g_ref,
@@ -197,7 +206,8 @@ def _bwd_kernel(ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, g_ref,
         dwa    += ef^T dlogit
     """
     ef, m, e_col, den, out, ok_f, hot_f, pre = _tile_forward(
-        ef_ref, a_ref, types_ref, valid_ref, we_ref, wa_ref, nb=nb, c=c, t=t, d=d
+        ef_ref[:], a_ref[:], types_ref[:], valid_ref[:], we_ref, wa_ref,
+        nb=nb, c=c, t=t, d=d,
     )
     g = g_ref[:].astype(jnp.float32)       # (nbt, D)
     deninv = 1.0 / jnp.maximum(den, 1e-16)  # (nbt, 1)
@@ -377,20 +387,31 @@ def _fused_forward(
     d = a.shape[-1]
     nb = _pick_tile(num_nodes, c, num_types, node_tile)
 
-    grid = (num_nodes // nb,)
+    import os
+
+    sub = max(1, int(os.environ.get("PEMP_TILE_SUB", 1)))
+    while sub > 1 and num_nodes % (nb * sub):
+        sub -= 1
+
+    grid = (num_nodes // (nb * sub),)
     out = pl.pallas_call(
-        functools.partial(_kernel, nb=nb, c=c, t=num_types, d=d),
+        functools.partial(_kernel, nb=nb, c=c, t=num_types, d=d, sub=sub),
         grid=grid,
+        # tiles are independent (each writes its own out rows): parallel
+        # semantics lets Mosaic overlap DMA across grid steps
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         in_specs=[
-            pl.BlockSpec((nb * c, de), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub * nb * c, de), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub * nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub * nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub * nb * c, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((de, num_types * d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((de, w_attn.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (sub * nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((num_nodes * num_types, d), jnp.float32),
         interpret=interpret,
@@ -561,6 +582,9 @@ def _attn_forward(b, a, types, valid, logits, num_nodes, num_types,
     out = pl.pallas_call(
         functools.partial(_attn_kernel, nb=nb, c=c, t=num_types, d=d),
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         in_specs=[
             pl.BlockSpec((nb * c, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -592,6 +616,10 @@ def _attn_bwd_rule(num_nodes, num_types, node_tile, interpret, res, g):
     db, da, dlogit = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, nb=nb, c=c, t=num_types, d=d),
         grid=grid,
+        # all three outputs are per-tile rows (no cross-tile accumulation)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
         in_specs=[
             pl.BlockSpec((nb * c, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((nb * num_types, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
