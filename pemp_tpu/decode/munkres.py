@@ -39,13 +39,22 @@ class Munkres:
     """
 
     def compute(self, cost_matrix):
-        C = np.array(cost_matrix, dtype=np.float64, copy=True)
+        C = np.array(cost_matrix, copy=True)
+        # The PyPI package computes in exact python ints; float64 would
+        # destroy differences between huge integer costs (the package's own
+        # documented profit example uses sys.maxsize - profit, whose
+        # pairwise differences are far below 2**63's ulp). Integer inputs
+        # therefore stay int64: every operation here is add/sub/min/==0,
+        # exact in int64, and after the step-1 row reduction all values are
+        # bounded by the per-row spread, so no overflow accumulates.
+        dtype = np.int64 if C.dtype.kind in "iu" else np.float64
+        C = C.astype(dtype)
         if C.ndim != 2 or C.size == 0:
             return []
         orig_rows, orig_cols = C.shape
         n = max(orig_rows, orig_cols)
         if C.shape != (n, n):
-            sq = np.zeros((n, n), np.float64)
+            sq = np.zeros((n, n), dtype)
             sq[:orig_rows, :orig_cols] = C
             C = sq
         self.C = C

@@ -97,12 +97,17 @@ class KeypointEval:
 
     def _evaluate_img(self, gts, dts, area_rng, ious):
         t = len(self.iou_thrs)
+        # pycocotools boundary semantics: ignored iff area < rng[0] OR
+        # area > rng[1] — both ends INCLUSIVE, so a gt whose area sits
+        # exactly on a range edge counts in BOTH adjacent ranges
+        # (cocoeval.evaluateImg's `g['area']<aRng[0] or g['area']>aRng[1]`)
         gt_ignore = np.array(
             [
                 (g.get("ignore", 0) == 1)
                 or (g.get("iscrowd", 0) == 1)
                 or (np.count_nonzero(np.array(g["keypoints"])[2::3] > 0) == 0)
-                or not (area_rng[0] <= g.get("area", 0) < area_rng[1])
+                or g.get("area", 0) < area_rng[0]
+                or g.get("area", 0) > area_rng[1]
                 for g in gts
             ],
             dtype=bool,
@@ -110,6 +115,9 @@ class KeypointEval:
         # sort gts: non-ignored first (COCOeval semantics)
         gt_order = np.argsort(gt_ignore, kind="stable")
         gt_ignore = gt_ignore[gt_order]
+        iscrowd = np.array(
+            [gts[i].get("iscrowd", 0) == 1 for i in gt_order], dtype=bool
+        ) if gts else np.zeros(0, bool)
         ious = ious[:, gt_order] if ious.size else ious
 
         num_g, num_d = len(gts), len(dts)
@@ -121,7 +129,10 @@ class KeypointEval:
                 best_iou = min(thr, 1 - 1e-10)
                 best_g = -1
                 for gi in range(num_g):
-                    if gtm[ti, gi] >= 0:
+                    # a matched gt is out of play UNLESS it is a crowd —
+                    # crowd gts absorb any number of detections
+                    # (cocoeval: `if gtm[tind,gind]>0 and not iscrowd[gind]`)
+                    if gtm[ti, gi] >= 0 and not iscrowd[gi]:
                         continue
                     # stop at ignored gts once a real match exists
                     if best_g > -1 and not gt_ignore[best_g] and gt_ignore[gi]:
@@ -135,6 +146,19 @@ class KeypointEval:
                 dtm[ti, di] = best_g
                 gtm[ti, best_g] = di
                 dt_ignore[ti, di] = gt_ignore[best_g]
+        # unmatched detections whose own (keypoint-extent) area falls outside
+        # the range are ignored, not false positives (cocoeval's final dtIg
+        # update); for the "all" range this is a no-op
+        if num_d:
+            dt_out = np.array(
+                [
+                    d.get("area", 0) < area_rng[0]
+                    or d.get("area", 0) > area_rng[1]
+                    for d in dts
+                ],
+                dtype=bool,
+            )
+            dt_ignore |= (dtm < 0) & dt_out[None, :]
         scores = np.array([d.get("score", 0.0) for d in dts])
         return dict(
             dtm=dtm,
