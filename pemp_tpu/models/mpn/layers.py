@@ -390,6 +390,78 @@ class TypeAwareMPNLayer(nn.Module):
         if src_type is None:
             src_type = node_types[j]
 
+        if (
+            self.use_fused_kernel
+            and self.blocked_c
+            and self.aggr_sub == "node_edge_attn"
+            and self.edge_mlp == "agnostic"
+            and pre.get("fused_step")
+            and pre.get("src_local2d") is not None
+            and pre.get("valid2d") is not None
+            and pre.get("init_edge_dim", 0) > 0
+            and self.raw_types
+            and self.nodes_per_type
+            and fused_tile_ok(num_nodes, self.blocked_c, self.num_types)
+        ):
+            # FULLY-fused step: x_j gather + both edge-MLP stages + typed
+            # message + attention aggregation in one Pallas kernel — the
+            # E-sized XLA-side chain (gather, stage-1 sum, stage-2 dot)
+            # never touches HBM. Loop-invariant halves (h_init, p_init, the
+            # init-edge projection q) are CSE'd by XLA under the unrolled
+            # scan exactly like the split-MLP path.
+            from pemp_tpu.ops.pallas.fused_step import fused_mpn_step
+
+            dn = x.shape[-1]
+            da = edge_attr.shape[-1]
+            dec = pre["init_edge_dim"]
+            h_dim = self.edge_feature_hidden
+            k0, b0 = _DenseParams(2 * dn + da, h_dim, name="mlp_edge_0")()
+            k1, b1 = _DenseParams(
+                h_dim, self.edge_feature_dim, name="mlp_edge_1"
+            )()
+            kernel, kbias = _TypedParams(
+                self.num_types, dn + self.edge_feature_dim,
+                self.node_feature_dim, name="mlp_node",
+            )()
+            ak, _ab = _DenseParams(self.edge_feature_dim, 1, name="attn_net")()
+            k0 = jnp.asarray(k0, self.dtype)
+            xd = x.astype(self.dtype)
+            h_node = xd @ k0[:dn] + jnp.asarray(b0, self.dtype)      # (N, H)
+            p = xd @ k0[dn:2 * dn]                                   # (N, H)
+            q = edge_attr[:, :dec].astype(self.dtype) @ k0[2 * dn:2 * dn + dec]
+            cur = edge_attr[:, dec:].astype(self.dtype)
+            wn = jnp.asarray(kernel[:, :dn], self.dtype)
+            we = jnp.asarray(kernel[:, dn:], self.dtype)
+            a = jnp.einsum("ni,tio->nto", xd, wn)
+            a = a + jnp.asarray(kbias, self.dtype)[None]
+            we_flat = jnp.transpose(we, (1, 0, 2)).reshape(
+                self.edge_feature_dim, self.num_types * self.node_feature_dim
+            )
+            updates, new_edge = fused_mpn_step(
+                p, h_node, q, cur, a,
+                pre["src_local2d"], pre["src_type2d"], pre["valid2d"],
+                k0[2 * dn + dec:], jnp.asarray(k1, self.dtype),
+                jnp.asarray(b1, self.dtype), we_flat,
+                jnp.asarray(ak, self.dtype),
+                num_nodes, self.num_types,
+                self.raw_types * self.nodes_per_type,
+                interpret=self.pallas_interpret,
+            )
+            if self.update_type == "mlp":
+                flat = updates.reshape(num_nodes, -1)
+                out = nn.relu(
+                    nn.Dense(
+                        self.node_feature_dim, dtype=self.dtype,
+                        name="update_mlp",
+                    )(flat)
+                )
+            else:
+                out = HierarchUpdateMlp(
+                    self.node_feature_dim, self.num_types, dtype=self.dtype,
+                    name="update_mlp",
+                )(updates)
+            return out, new_edge
+
         if self.edge_mlp == "agnostic":
             if self.blocked_c:
                 # split the concat-matmul: the x_i part collapses to one

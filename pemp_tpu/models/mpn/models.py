@@ -170,6 +170,20 @@ def _run_steps(parent, mpn_cfg, num_types, skip, steps, node_features, edge_feat
     }
     if edge_valid is not None:
         pre["valid2d"] = edge_valid.astype(jnp.int32).reshape(e, 1)
+    if (
+        mpn_cfg.get("_FUSED_STEP")
+        and blocked_c
+        and npt
+        and skip
+        and edge_valid is not None
+    ):
+        # fully-fused step kernel: source indices local to their image (kNN
+        # never crosses images and nodes are n_img-aligned, so j % n_img is
+        # exact) + the edge-carry split point for the loop-invariant q half
+        n_img = mpn_cfg["NUM_JOINTS"] * npt
+        pre["src_local2d"] = (j % n_img).astype(jnp.int32).reshape(e, 1)
+        pre["init_edge_dim"] = edge_features.shape[-1]
+        pre["fused_step"] = True
     if mpn_cfg.get("_TYPED_EINSUM") and blocked_c and npt and edge_valid is not None:
         # loop-invariant reverse-edge involution: enables the zero-waste
         # statically-type-blocked message projection (requires the symmetric

@@ -239,6 +239,10 @@ def build_pose_model(config, dtype=jnp.float32) -> PoseEstimationBaseline:
             mpn_cfg["_TYPED_EINSUM"] = True
         if msg_pass in ("einsum", "dots"):
             mpn_cfg["_USE_PALLAS"] = False
+        if msg_pass == "fused_step" and mpn_cfg.get("_NODES_PER_TYPE"):
+            # fully-fused step kernel (x_j gather + edge MLP + typed message
+            # + attention aggregation in one Pallas call per step)
+            mpn_cfg["_FUSED_STEP"] = True
         unroll_cfg = config.TPU.SCAN_UNROLL if "SCAN_UNROLL" in config.TPU else -1
         if unroll_cfg < 0:
             # full unroll on TPU (XLA hoists the loop-invariant edge-MLP

@@ -32,6 +32,16 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 
+def env_int(name: str, default: int) -> int:
+    """Trace-time integer env knob; malformed values fall back to default."""
+    import os
+
+    try:
+        return int(os.environ.get(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
 def _sel_ok_masks(types, *, nb, c, t):
     """Build the slot->row selection mask ``sel`` (nbc, nbt) and its
     transpose ``ok`` (nbt, nbc) — sel[s, r] = 1 iff slot s belongs to row
@@ -292,11 +302,18 @@ def fused_typed_message_aggregate(
     ``node_tile`` default 8 (override via PEMP_NODE_TILE for tuning): the
     kernel is per-tile-overhead bound (~6us/tile at nb=8, C=82 — only ~7.5%
     of MXU peak on the b_all matmul), so fewer, bigger tiles amortize it.
+
+    Tuning env vars (PEMP_NODE_TILE, PEMP_TILE_SUB) are read at TRACE time:
+    changing them after the first jit trace of a given shape has no effect
+    (the cached trace wins) — restart the process or clear jax caches to
+    re-tune. PEMP_TILE_SUB (default 1) packs that many independent nb-node
+    sub-tiles into one grid step to amortize fixed per-grid-step cost; any
+    value that doesn't divide the node count is decremented until it does,
+    and outputs are bit-identical across sub values
+    (tests/test_pallas_kernels.py::test_tile_sub_variants_match).
     """
     if node_tile is None:
-        import os
-
-        node_tile = int(os.environ.get("PEMP_NODE_TILE", 8))
+        node_tile = env_int("PEMP_NODE_TILE", 8)
     return _fused_vjp(
         edge_feats, a, types, valid, we, w_attn,
         num_nodes, num_types, node_tile, interpret,
@@ -387,9 +404,7 @@ def _fused_forward(
     d = a.shape[-1]
     nb = _pick_tile(num_nodes, c, num_types, node_tile)
 
-    import os
-
-    sub = max(1, int(os.environ.get("PEMP_TILE_SUB", 1)))
+    sub = max(1, env_int("PEMP_TILE_SUB", 1))
     while sub > 1 and num_nodes % (nb * sub):
         sub -= 1
 
@@ -550,11 +565,10 @@ def fused_attn_aggregate(
 
     Differentiable in (b, a, logits) via a backward Pallas kernel. The typed
     projection and the attention logits are the caller's responsibility
-    (computed once per step as dense matmuls outside)."""
+    (computed once per step as dense matmuls outside). PEMP_NODE_TILE is
+    read at trace time (see fused_typed_message_aggregate)."""
     if node_tile is None:
-        import os
-
-        node_tile = int(os.environ.get("PEMP_NODE_TILE", 8))
+        node_tile = env_int("PEMP_NODE_TILE", 8)
     return _attn_vjp(b, a, types, valid, logits,
                      num_nodes, num_types, node_tile, interpret)
 

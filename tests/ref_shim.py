@@ -25,6 +25,37 @@ import torch
 
 REF_MPN_DIR = "/root/reference/src/Models/MessagePassingNetwork"
 
+# module-name roots that reference-shim fixtures install or replace
+_SHIM_ROOTS = frozenset(
+    {
+        "Utils", "graph_constructor", "Models", "torch_geometric",
+        "torch_scatter", "torch_cluster", "cv2", "munkres", "torchvision",
+        "mmcv", "ref_group_hg", "config",
+    }
+)
+_SHIM_EXACT = frozenset({"torch.utils.tensorboard"})
+
+
+def restore_modules(saved: dict) -> None:
+    """Teardown for reference-shim fixtures.
+
+    Removes ONLY the shim/reference-tree modules the fixture installed and
+    restores any entries it replaced. A blanket "delete everything not in
+    the snapshot" teardown also evicts innocent third-party modules that
+    were lazily imported while the fixture was live (scipy.sparse.csgraph
+    cython pieces, jaxlib.mlir dialect bindings, torch internals); their
+    NEXT import re-runs C-extension init, which raises ("Dialect namespace
+    'builtin' is already registered") or segfaults outright — this was a
+    real order-dependent suite crash, not a theoretical one.
+    """
+    for k in list(sys.modules):
+        if not (k.split(".")[0] in _SHIM_ROOTS or k in _SHIM_EXACT):
+            continue
+        if k in saved:
+            sys.modules[k] = saved[k]
+        else:
+            del sys.modules[k]
+
 
 # ---------------------------------------------------------------- scatter ops
 def scatter(src, index, dim=0, out=None, dim_size=None, reduce="sum"):

@@ -40,3 +40,64 @@ def test_pallas_blocked_attn_empty_groups():
     )
     np.testing.assert_allclose(out[:, 0], 1.0, atol=1e-6)
     np.testing.assert_allclose(out[:, 1:], 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("sub", ["2", "4"])
+def test_tile_sub_variants_match(sub, monkeypatch):
+    """PEMP_TILE_SUB packs several nb sub-tiles per grid step; outputs and
+    gradients must be bit-identical to sub=1 (ADVICE r3: the sub path had no
+    regression coverage)."""
+    import jax
+
+    from pemp_tpu.ops.pallas.fused_typed_message import (
+        fused_typed_message_aggregate,
+    )
+
+    rng = np.random.RandomState(5)
+    n, c, t, d, de = 32, 8, 4, 8, 8
+    ef = jnp.asarray(rng.randn(n * c, de).astype(np.float32))
+    a = jnp.asarray(rng.randn(n, t, d).astype(np.float32))
+    types = jnp.asarray(rng.randint(0, t, n * c), jnp.int32)
+    valid = jnp.asarray(rng.rand(n * c) > 0.3)
+    we = jnp.asarray(rng.randn(de, t * d).astype(np.float32))
+    wa = jnp.asarray(rng.randn(de, 1).astype(np.float32))
+
+    def run():
+        out = fused_typed_message_aggregate(
+            ef, a, types, valid, we, wa, n, t, interpret=True
+        )
+        g = jax.grad(
+            lambda e_, a_: jnp.sum(
+                fused_typed_message_aggregate(
+                    e_, a_, types, valid, we, wa, n, t, interpret=True
+                )
+                ** 2
+            ),
+            argnums=(0, 1),
+        )(ef, a)
+        return out, g
+
+    monkeypatch.delenv("PEMP_TILE_SUB", raising=False)
+    base = run()
+    monkeypatch.setenv("PEMP_TILE_SUB", sub)
+    got = run()
+    for b_, g_ in zip(
+        jax.tree_util.tree_leaves(base), jax.tree_util.tree_leaves(got)
+    ):
+        np.testing.assert_array_equal(np.asarray(b_), np.asarray(g_))
+
+
+def test_env_int_malformed_falls_back():
+    import os
+
+    from pemp_tpu.ops.pallas.fused_typed_message import env_int
+
+    old = os.environ.get("PEMP_TILE_SUB")
+    try:
+        os.environ["PEMP_TILE_SUB"] = "not-a-number"
+        assert env_int("PEMP_TILE_SUB", 3) == 3
+    finally:
+        if old is None:
+            os.environ.pop("PEMP_TILE_SUB", None)
+        else:
+            os.environ["PEMP_TILE_SUB"] = old

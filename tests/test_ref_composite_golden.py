@@ -37,7 +37,7 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
-from ref_shim import install_mmcv_shim, install_shims
+from ref_shim import install_mmcv_shim, install_shims, restore_modules
 
 REF_SRC = "/root/reference/src"
 
@@ -204,11 +204,7 @@ def ref_env():
         )
         yield pe, uu
     finally:
-        for k in list(sys.modules):
-            if k not in saved:
-                del sys.modules[k]
-            else:
-                sys.modules[k] = saved[k]
+        restore_modules(saved)
 
 
 def _make_config():

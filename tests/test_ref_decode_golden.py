@@ -92,11 +92,9 @@ def ref_utils():
         spec.loader.exec_module(mod)
         yield mod
     finally:
-        for k in list(sys.modules):
-            if k not in saved:
-                del sys.modules[k]
-            else:
-                sys.modules[k] = saved[k]
+        from ref_shim import restore_modules
+
+        restore_modules(saved)
 
 
 def _scene(rng, n=120, j=17, e=500):

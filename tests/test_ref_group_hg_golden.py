@@ -44,11 +44,9 @@ def ref_group_hg():
         spec.loader.exec_module(mod)
         yield mod
     finally:
-        for k in list(sys.modules):
-            if k not in saved:
-                del sys.modules[k]
-            else:
-                sys.modules[k] = saved[k]
+        from ref_shim import restore_modules
+
+        restore_modules(saved)
 
 
 def _scene(rng, j=17, h=64, w=64, n_people=3, noise=0.02):
