@@ -150,6 +150,7 @@ def main():
         batch_size, warmup, iters = 1, 1, 2
 
     last_err = None
+    compile_t0 = time.perf_counter()
     for bs in (batch_size, 4, 2, 1):
         try:
             fn, imgs = build_pipeline(bs)
@@ -157,6 +158,9 @@ def main():
             # a host fetch surfaces OOM/compile failures reliably
             np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
             batch_size = bs
+            # breadcrumb for the documented compile-time cliffs (full scan
+            # unroll; Mosaic at sub>1/nb=16): first build+compile seconds
+            compile_s = time.perf_counter() - compile_t0
             break
         except Exception as e:  # noqa: BLE001 — fall back to smaller batch
             last_err = e
@@ -223,7 +227,7 @@ def main():
         extra = f" mfu={mfu:.3f} gflops/img={flops_per_img / 1e9:.1f}"
     print(
         f"# platform={platform} batch={batch_size} iters={iters} "
-        f"total={dt:.2f}s{extra}",
+        f"total={dt:.2f}s compile={compile_s:.0f}s{extra}",
         file=sys.stderr,
     )
 

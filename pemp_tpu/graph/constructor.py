@@ -129,6 +129,8 @@ class GraphBatch:
     label_mask: Any = None     # (E*,)
     label_mask_node: Any = None  # (N*,)
     class_mask: Any = None     # (N*,)
+    edge_src_local: Any = None  # (E*,) source index WITHIN its image
+    # (pre-offset; saves an E-sized int remainder in the fused-step MPN)
 
 
 jax.tree_util.register_dataclass(
@@ -675,6 +677,7 @@ def construct_graph_batch(
         batch_index=batch_index,
         node_valid=valid.reshape(b * n),
         edge_valid=flat(per["edge_valid"]),
+        edge_src_local=per["edge_index"][:, 0, :].reshape(b * e),
     )
     if joints_gt is not None:
         gb.edge_labels = flat(per["edge_labels"])

@@ -129,7 +129,8 @@ class _StepBody(nn.Module):
 
 
 def _run_steps(parent, mpn_cfg, num_types, skip, steps, node_features, edge_features,
-               edge_index, node_types, edge_valid, dtype, name, collect=True):
+               edge_index, node_types, edge_valid, dtype, name, collect=True,
+               edge_src_local=None):
     """Scan the shared-weight step; returns per-step (nodes, edges) stacks.
 
     Loop-invariant inputs (edge index, per-edge source/target types and the
@@ -179,9 +180,13 @@ def _run_steps(parent, mpn_cfg, num_types, skip, steps, node_features, edge_feat
     ):
         # fully-fused step kernel: source indices local to their image (kNN
         # never crosses images and nodes are n_img-aligned, so j % n_img is
-        # exact) + the edge-carry split point for the loop-invariant q half
+        # exact; the constructor's pre-offset indices skip even that) + the
+        # edge-carry split point for the loop-invariant q half
         n_img = mpn_cfg["NUM_JOINTS"] * npt
-        pre["src_local2d"] = (j % n_img).astype(jnp.int32).reshape(e, 1)
+        src_local = (
+            edge_src_local if edge_src_local is not None else j % n_img
+        )
+        pre["src_local2d"] = src_local.astype(jnp.int32).reshape(e, 1)
         pre["init_edge_dim"] = edge_features.shape[-1]
         pre["fused_step"] = True
     if mpn_cfg.get("_TYPED_EINSUM") and blocked_c and npt and edge_valid is not None:
@@ -278,6 +283,7 @@ class NodeClassificationMPN(nn.Module):
         node_features, edge_features, node_stack, edge_stack = _run_steps(
             self, c_run, num_types, c["SKIP"], steps, node_features, edge_features,
             edge_index, types, edge_valid, self.dtype, "mpn", collect=collect,
+            edge_src_local=kwargs.get("edge_src_local"),
         )
 
         edge_head = MLP(tuple(c["EDGE_CLASS"]["OUTPUT_SIZES"]), bn=c["BN"], dtype=self.dtype, name="edge_classification")

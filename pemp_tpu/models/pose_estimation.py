@@ -94,6 +94,7 @@ class PoseEstimationBaseline(nn.Module):
             node_labels=gb.node_labels,
             batch_index=gb.batch_index,
             feature_maps=feature_maps,
+            edge_src_local=gb.edge_src_local,
             train=train,
         )
         if not with_logits:
@@ -232,7 +233,17 @@ def build_pose_model(config, dtype=jnp.float32) -> PoseEstimationBaseline:
         # correct on the symmetric layout).
         msg_pass = config.TPU.MSG_PASS if "MSG_PASS" in config.TPU else "auto"
         if msg_pass == "auto":
-            msg_pass = "einsum" if _jax.default_backend() != "tpu" else "pallas"
+            if _jax.default_backend() != "tpu":
+                msg_pass = "einsum"
+            elif not bool(config.TPU.COLLECT_AUX):
+                # eval entries (bench/valid/TTA) run COLLECT_AUX=False: the
+                # fully-fused step kernel is the fastest TPU eval path
+                # (72.2 vs 62.4 img/s on the w48/640 bench). Training keeps
+                # the per-op kernel whose backward Pallas kernel is tuned
+                # (the fused step's VJP is a jnp recompute).
+                msg_pass = "fused_step"
+            else:
+                msg_pass = "pallas"
         if msg_pass in ("einsum", "hybrid") and mpn_cfg.get("_NODES_PER_TYPE"):
             # hybrid = rev_perm einsum projection + slim aggregation kernel;
             # einsum = full jnp path (kernel off)

@@ -223,7 +223,11 @@ def _step_forward(p, h_node, q, cur, a, src_local, types, valid,
     de = w_e1.shape[-1]
     nb = _pick_tile(num_nodes, c, num_types, node_tile)
 
-    sub = _pick_sub(n_img, nb, env_int("PEMP_STEP_SUB", 5))
+    # default sub=1: packing more sub-tiles per grid step (sub must divide
+    # n_img/nb, i.e. 5/17/85 at flagship shapes) currently triggers a
+    # pathological Mosaic compile (>45 min vs seconds at sub=1) — same cliff
+    # ROADMAP recorded for nb=16. Keep the knob for when Mosaic improves.
+    sub = _pick_sub(n_img, nb, env_int("PEMP_STEP_SUB", 1))
     grid = (num_nodes // (nb * sub),)
     tiles_per_img = n_img // (nb * sub)
 
@@ -327,9 +331,11 @@ def fused_mpn_step(
         out[n, t] = softmax-weighted sum of m over n's valid type-t slots
                     (weights = ef @ w_attn, per-(n, t) softmax)
 
-    ``PEMP_STEP_SUB`` (default 5, trace-time read like PEMP_NODE_TILE)
+    ``PEMP_STEP_SUB`` (default 1, trace-time read like PEMP_NODE_TILE)
     sets how many node sub-tiles share one grid step; nb*sub must divide
-    ``nodes_per_image`` so a grid step never straddles two images.
+    ``nodes_per_image`` so a grid step never straddles two images. Values
+    >1 currently hit a pathological Mosaic compile (>45 min) at flagship
+    shapes.
     Differentiable via a jnp-recompute VJP (eval is the target; training
     uses the per-op path).
     """

@@ -39,26 +39,89 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--logdir", default="tmp/trace")
+    ap.add_argument(
+        "--train", action="store_true",
+        help="trace the flagship TRAIN step (fwd+bwd+Adam) instead of the "
+        "eval bench pipeline (VERDICT r3 #2: the training path had no "
+        "perf measurement at all)",
+    )
     args = ap.parse_args()
 
     import jax
-
-    from bench import build_pipeline
-
-    fn, imgs = build_pipeline(args.batch)
-    rng = np.random.RandomState(0)
     import jax.numpy as jnp
 
-    data = jnp.asarray(rng.rand(*imgs.shape), jnp.float32)
-    # warmup / compile
-    jax.block_until_ready(fn(data))
-    jax.block_until_ready(fn(data))
+    rng = np.random.RandomState(0)
+    if args.train:
+        from pemp_tpu.config import get_config, update_config
+        from pemp_tpu.data.synthetic import make_batch
+        from pemp_tpu.losses import dispatch_loss_func
+        from pemp_tpu.models import build_pose_model
+        from pemp_tpu.train import (
+            TrainState, build_optimizer, make_train_step,
+        )
 
-    os.makedirs(args.logdir, exist_ok=True)
-    with jax.profiler.trace(args.logdir):
-        for _ in range(args.iters):
-            out = fn(data)
-        jax.block_until_ready(out)
+        cfg = get_config()
+        cfg = update_config(
+            cfg, "configs/hybrid_class_agnostic_end2end/model_58_4.yaml"
+        )
+        cfg.defrost()
+        cfg.TPU.NODES_PER_TYPE = 40
+        cfg.freeze()
+        in_size = cfg.DATASET.INPUT_SIZE
+        out_sizes = tuple(cfg.DATASET.OUTPUT_SIZE)
+        batch = make_batch(rng, args.batch, in_size, out_sizes,
+                           cfg.DATASET.NUM_JOINTS)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        model = build_pose_model(cfg, dtype=jnp.bfloat16)
+        variables = model.init(
+            jax.random.PRNGKey(0), batch["imgs"][:1],
+            keypoints_gt=batch["keypoints"][:1],
+            masks=batch["masks"][-1][:1], factors=batch["factors"][:1],
+            train=False,
+        )
+        loss_factory = dispatch_loss_func(cfg)
+        tx, _ = build_optimizer(cfg, variables["params"], steps_per_epoch=10**6)
+        step = jax.jit(make_train_step(model, loss_factory, tx, cfg))
+        state = TrainState(
+            params=variables["params"], batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]), step=jnp.int32(0),
+        )
+
+        import time
+
+        t0 = time.perf_counter()
+        state, loss, _ = step(state, batch)
+        jax.block_until_ready(loss)
+        compile_s = time.perf_counter() - t0
+        state, loss, _ = step(state, batch)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        os.makedirs(args.logdir, exist_ok=True)
+        with jax.profiler.trace(args.logdir):
+            for _ in range(args.iters):
+                state, loss, _ = step(state, batch)
+            jax.block_until_ready(loss)
+        dt = time.perf_counter() - t0
+        print(
+            f"train step: {dt/args.iters*1e3:.1f} ms/step, "
+            f"{args.batch*args.iters/dt:.2f} img/s "
+            f"(batch {args.batch}, input {in_size}, compile {compile_s:.0f}s, "
+            f"loss {float(loss):.4f})"
+        )
+    else:
+        from bench import build_pipeline
+
+        fn, imgs = build_pipeline(args.batch)
+        data = jnp.asarray(rng.rand(*imgs.shape), jnp.float32)
+        # warmup / compile
+        jax.block_until_ready(fn(data))
+        jax.block_until_ready(fn(data))
+
+        os.makedirs(args.logdir, exist_ok=True)
+        with jax.profiler.trace(args.logdir):
+            for _ in range(args.iters):
+                out = fn(data)
+            jax.block_until_ready(out)
 
     pbs = sorted(glob.glob(f"{args.logdir}/**/*.xplane.pb", recursive=True),
                  key=os.path.getmtime)
