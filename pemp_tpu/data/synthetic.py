@@ -30,14 +30,22 @@ _TEMPLATE = np.array(
 )
 
 
-def random_scene(rng, input_size=128, num_joints=17, max_people=30, n_people=None):
-    """Returns keypoints (P, J, 3) in input resolution and person scales."""
+def random_scene(rng, input_size=128, num_joints=17, max_people=30, n_people=None,
+                 scale_range=(0.25, 0.6)):
+    """Returns keypoints (P, J, 3) in input resolution and person scales.
+
+    ``scale_range``: person size as a fraction of the image. The default
+    produces realistically-small people; overfit/convergence tests should
+    pass larger scales — OKS matching tolerance shrinks with person area
+    ((2*sigma)^2 * area * 2), and at the default sizes on a 64px output
+    grid the face joints' matchable radius drops below one pixel.
+    """
     if n_people is None:
         n_people = rng.randint(1, 5)
     kps = []
     areas = []
     for _ in range(n_people):
-        scale = rng.uniform(0.25, 0.6) * input_size
+        scale = rng.uniform(*scale_range) * input_size
         cx = rng.uniform(0.2, 0.8) * input_size
         cy = rng.uniform(0.2, 0.8) * input_size
         pts = _TEMPLATE[:num_joints] - 0.5
@@ -69,9 +77,13 @@ def render_image(keypoints, input_size, rng):
     return np.clip(img, 0, 1)
 
 
-def make_sample(rng, input_size=128, output_sizes=(32, 64), num_joints=17, max_people=30):
+def make_sample(rng, input_size=128, output_sizes=(32, 64), num_joints=17, max_people=30,
+                n_people=None, scale_range=(0.25, 0.6)):
     """One training sample with reference-shaped targets."""
-    keypoints, areas = random_scene(rng, input_size, num_joints, max_people)
+    keypoints, areas = random_scene(
+        rng, input_size, num_joints, max_people, n_people=n_people,
+        scale_range=scale_range,
+    )
     img = render_image(keypoints, input_size, rng)
 
     sig = KPT_OKS_SIGMAS[:num_joints]
@@ -110,9 +122,10 @@ def make_sample(rng, input_size=128, output_sizes=(32, 64), num_joints=17, max_p
 
 
 def make_batch(rng, batch_size=2, input_size=128, output_sizes=(32, 64), num_joints=17,
-               max_people=30):
+               max_people=30, n_people=None, scale_range=(0.25, 0.6)):
     samples = [
-        make_sample(rng, input_size, output_sizes, num_joints, max_people)
+        make_sample(rng, input_size, output_sizes, num_joints, max_people,
+                    n_people=n_people, scale_range=scale_range)
         for _ in range(batch_size)
     ]
     n_scales = len(output_sizes)

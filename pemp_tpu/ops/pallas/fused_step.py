@@ -50,55 +50,72 @@ def _step_kernel(p_ref, hn_ref, q_ref, cur_ref, a_ref, src_ref, types_ref,
                  ne_ref, out_ref, *, nb, c, t, d, h, sub, n_img):
     nbc = nb * c
     nbt = nb * t
-    gc = sub * nbc
-    # ---- group-level leading dots (amortize across `sub` nb-sub-tiles) ----
     p = p_ref[:]                                     # (n_img, H)
-    # one-hot source gather: G[s, n] = (src[s] == n); exact vs p[src]
-    src = src_ref[:]                                 # (gc, 1) i32
-    n_iota = jax.lax.broadcasted_iota(jnp.int32, (gc, n_img), 1)
-    g1h = (src == n_iota).astype(p.dtype)            # (gc, n_img)
-    p_sel = jax.lax.dot_general(
-        g1h, p, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                # (gc, H)
-    # target-node broadcast: U[s, m] = (s // c == m), m over the group's nodes
-    u_row = jax.lax.broadcasted_iota(jnp.int32, (gc, sub * nb), 0) // c
-    u_col = jax.lax.broadcasted_iota(jnp.int32, (gc, sub * nb), 1)
-    u = (u_row == u_col).astype(p.dtype)
-    hn_sel = jax.lax.dot_general(
-        u, hn_ref[:].astype(p.dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                # (gc, H)
-    cur_h = jax.lax.dot_general(
-        cur_ref[:], wcur_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                # (gc, H)
-    hh = jax.nn.relu(
-        p_sel + hn_sel + cur_h + q_ref[:].astype(jnp.float32)
-    ).astype(cur_ref.dtype)
-    ef_all = jax.nn.relu(
-        jax.lax.dot_general(
-            hh, we1_ref[:],
+    # everything below runs per nb-sized sub-tile: a group-level (gc, n_img)
+    # one-hot (plus its i32 iota) blows the 16MB scoped-VMEM stack at sub=5
+    # (26.08M measured), and Mosaic's stack allocator SUMS across an
+    # unrolled python loop (23.16M measured even with nb-sized chunks) — so
+    # the sub loop must be a lax.fori_loop, whose iterations share one set
+    # of temporaries, while the grid still shrinks by `sub` (the p block is
+    # fetched once per group)
+    def _sub_body(s, carry):
+        nc, nt = s * nbc, s * nbt
+        src = src_ref[pl.ds(nc, nbc)]                # (nbc, 1) i32
+        # one-hot source gather: G[s, n] = (src[s] == n); exact vs p[src]
+        n_iota = jax.lax.broadcasted_iota(jnp.int32, (nbc, n_img), 1)
+        g1h = (src == n_iota).astype(p.dtype)        # (nbc, n_img)
+        p_sel = jax.lax.dot_general(
+            g1h, p, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (nbc, H)
+        # target-node broadcast: U[s, m] = (s // c == m), m over tile nodes
+        u_row = jax.lax.broadcasted_iota(jnp.int32, (nbc, nb), 0) // c
+        u_col = jax.lax.broadcasted_iota(jnp.int32, (nbc, nb), 1)
+        u = (u_row == u_col).astype(p.dtype)
+        hn_sel = jax.lax.dot_general(
+            u, hn_ref[pl.ds(s * nb, nb)].astype(p.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        + be1_ref[:].astype(jnp.float32)
-    ).astype(ne_ref.dtype)                           # (gc, De)
-    ne_ref[:] = ef_all
+        )                                            # (nbc, H)
+        cur_h = jax.lax.dot_general(
+            cur_ref[pl.ds(nc, nbc)], wcur_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (nbc, H)
+        hh = jax.nn.relu(
+            p_sel + hn_sel + cur_h
+            + q_ref[pl.ds(nc, nbc)].astype(jnp.float32)
+        ).astype(cur_ref.dtype)
+        ef = jax.nn.relu(
+            jax.lax.dot_general(
+                hh, we1_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + be1_ref[:].astype(jnp.float32)
+        ).astype(ne_ref.dtype)                       # (nbc, De)
+        ne_ref[pl.ds(nc, nbc)] = ef
 
-    # ---- per-sub-tile typed message + attention aggregation tail ----
-    for s in range(sub):
-        nc, nt = s * nbc, s * nbt
         out = _tile_forward(
-            ef_all[nc:nc + nbc],
-            a_ref[nt:nt + nbt],
-            types_ref[nc:nc + nbc],
-            valid_ref[nc:nc + nbc],
+            ef,
+            a_ref[pl.ds(nt, nbt)],
+            types_ref[pl.ds(nc, nbc)],
+            valid_ref[pl.ds(nc, nbc)],
             wet_ref, wa_ref, nb=nb, c=c, t=t, d=d,
         )[4]
-        out_ref[nt:nt + nbt] = out.astype(out_ref.dtype)
+        out_ref[pl.ds(nt, nbt)] = out.astype(out_ref.dtype)
+        return carry
+
+    if sub == 1:
+        _sub_body(0, 0)
+    elif env_int("PEMP_STEP_SUB_UNROLL", 0):
+        # unrolled variant: static slices let Mosaic software-pipeline the
+        # sub-tiles, but its stack allocator SUMS the iterations' temporaries
+        # (23.2MB at sub=5) — needs the raised vmem_limit_bytes
+        for s in range(sub):
+            _sub_body(s, 0)
+    else:
+        jax.lax.fori_loop(0, sub, _sub_body, 0)
 
 
 def _pick_sub(n_img: int, nb: int, want: int) -> int:
@@ -239,7 +256,13 @@ def _step_forward(p, h_node, q, cur, a, src_local, types, valid,
         ),
         grid=grid,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            dimension_semantics=("parallel",),
+            # sub>1 needs ~18.5-24MB of scoped VMEM (sub-loop body + block
+            # windows); the 16MB default rejects it while the chip has
+            # 128MB. Only raised when needed: a blanket 64MB reservation
+            # measured 2.4 img/s SLOWER at sub=1 (it eats into the VMEM the
+            # scheduler uses to overlap neighbouring ops).
+            vmem_limit_bytes=(64 * 1024 * 1024 if sub > 1 else None),
         ),
         in_specs=[
             pl.BlockSpec((n_img, h), lambda i: (i // tiles_per_img, 0),
