@@ -478,6 +478,17 @@ class TypeAwareMPNLayer(nn.Module):
                 h_node = x.astype(self.dtype) @ k0[:dn] + b0          # (N, H)
                 di = pre.get("init_dim", 0)
                 xj_init = pre.get("xj_init")
+                n_img = self.raw_types * self.nodes_per_type
+                if n_img and x.shape[0] % n_img == 0:
+                    # matmul-transpose backward: the (E, D) row scatter-add
+                    # in the gather's autodiff transpose is 10% of train-step
+                    # device time; a per-image one-hot MXU contraction is
+                    # exact and ~20x faster (ops/gather_mm.py)
+                    from pemp_tpu.ops.gather_mm import gather_rows_mm
+
+                    gather = lambda t, idx: gather_rows_mm(t, idx, n_img)  # noqa: E731
+                else:
+                    gather = lambda t, idx: t[idx]  # noqa: E731
                 if di and xj_init is not None:
                     # skip-connection split: the init half of x_j is
                     # loop-invariant and pre-gathered; only the current half
@@ -488,11 +499,11 @@ class TypeAwareMPNLayer(nn.Module):
                     xproj = x[:, di:].astype(self.dtype) @ k0[dn + di:2 * dn]
                     h_edge = (
                         xj_init.astype(self.dtype) @ k0[dn:dn + di]
-                        + xproj[j]
+                        + gather(xproj, j)
                         + edge_attr.astype(self.dtype) @ k0[2 * dn:]
                     )                                                 # (E, H)
                 else:
-                    x_j = x[j]
+                    x_j = gather(x, j)
                     h_edge = (
                         x_j.astype(self.dtype) @ k0[dn:2 * dn]
                         + edge_attr.astype(self.dtype) @ k0[2 * dn:]

@@ -1,0 +1,75 @@
+"""Row gather with a matmul-transpose backward.
+
+``x[j]`` on TPU is fine forward (~0.8ms/step at flagship MPN shapes) but its
+autodiff transpose is a scatter-add of (E, D) rows into (N, D) — measured at
+30.3 ms/iter in the flagship train step (10.3% of device time; random-access
+row scatters run an order below HBM peak, the same wall as the forward
+gather the fused eval kernel eliminates).
+
+This op keeps the XLA gather forward and swaps the backward for an exact
+per-image one-hot contraction on the MXU:
+
+    dX[b*n_img + n] = sum_e [src_b[e] == n] * g_b[e]
+                    = (onehot_b)^T @ g_b            # (n_img, E_img) @ (E_img, D)
+
+which is bit-compatible-or-better than the scatter-add (the dot accumulates
+in f32 where a bf16 scatter-add accumulates in bf16). Requires the graph
+invariant the constructor guarantees (ops/knn.py): edges never cross images
+and every image owns the same static count of nodes/edges.
+
+reference context: the torch reference gathers x_j inside torch_geometric's
+MessagePassing (src/Models/MessagePassingNetwork/layers.py:32-86); its CUDA
+scatter backward has no TPU analogue that isn't bandwidth-starved.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_mm(x, j, n_img: int):
+    """``x[j]`` with the backward computed as per-image one-hot matmuls.
+
+    x: (N, D) rows, N a multiple of ``n_img`` (nodes per image).
+    j: (E,) int row indices, E a multiple of N // n_img images; every index
+       must stay inside its image's row block (j[e] // n_img is the image of
+       edge e) — the kNN constructor's target-major layout guarantees this.
+    """
+    return x[j]
+
+
+def _fwd(x, j, n_img: int):
+    # residuals must be jax types: carry x's row count and dtype in a
+    # zero-byte (N, 0) probe
+    return x[j], (x[:, :0], j)
+
+
+def _bwd(n_img: int, res, g):
+    x_probe, j = res
+    x_dtype = x_probe.dtype
+    n = x_probe.shape[0]
+    b = n // n_img
+    e = j.shape[0]
+    e_img = e // b
+    g3 = g.reshape(b, e_img, -1)
+    src = (j % n_img).astype(jnp.int32).reshape(b, e_img)
+    onehot = (
+        src[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_img), 2)
+    ).astype(g3.dtype)
+    dx = jax.lax.dot_general(
+        onehot,
+        g3,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (b, n_img, D)
+    dj = np.zeros(j.shape, jax.dtypes.float0)
+    return dx.reshape(n, -1).astype(x_dtype), dj
+
+
+gather_rows_mm.defvjp(_fwd, _bwd)
