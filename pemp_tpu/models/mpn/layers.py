@@ -478,17 +478,15 @@ class TypeAwareMPNLayer(nn.Module):
                 h_node = x.astype(self.dtype) @ k0[:dn] + b0          # (N, H)
                 di = pre.get("init_dim", 0)
                 xj_init = pre.get("xj_init")
-                n_img = self.raw_types * self.nodes_per_type
-                if n_img and x.shape[0] % n_img == 0:
-                    # matmul-transpose backward: the (E, D) row scatter-add
-                    # in the gather's autodiff transpose is 10% of train-step
-                    # device time; a per-image one-hot MXU contraction is
-                    # exact and ~20x faster (ops/gather_mm.py)
-                    from pemp_tpu.ops.gather_mm import gather_rows_mm
+                # matmul-transpose backward where the blocked layout allows:
+                # the (E, D) row scatter-add in the gather's autodiff
+                # transpose is 10% of train-step device time; a per-image
+                # one-hot MXU contraction is exact and ~20x faster
+                # (eligibility rule lives in ops/gather_mm.py)
+                from pemp_tpu.ops.gather_mm import gather_rows_mm_or_plain
 
-                    gather = lambda t, idx: gather_rows_mm(t, idx, n_img)  # noqa: E731
-                else:
-                    gather = lambda t, idx: t[idx]  # noqa: E731
+                n_img = self.raw_types * self.nodes_per_type
+                gather = lambda t, idx: gather_rows_mm_or_plain(t, idx, n_img)  # noqa: E731
                 if di and xj_init is not None:
                     # skip-connection split: the init half of x_j is
                     # loop-invariant and pre-gathered; only the current half

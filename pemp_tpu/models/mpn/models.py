@@ -158,15 +158,13 @@ def _run_steps(parent, mpn_cfg, num_types, skip, steps, node_features, edge_feat
         # with skip connections each step gathers x_j from concat(init, cur);
         # the init half is loop-invariant, so gather it once and let the
         # layer's split edge MLP consume it — halves the per-step gather bytes
-        n_img_g = mpn_cfg["NUM_JOINTS"] * npt if npt else 0
-        if n_img_g and node_features.shape[0] % n_img_g == 0:
-            # matmul-transpose backward for the scatter-add in this gather's
-            # autodiff transpose (ops/gather_mm.py)
-            from pemp_tpu.ops.gather_mm import gather_rows_mm
+        # matmul-transpose backward for the scatter-add in this gather's
+        # autodiff transpose where the blocked layout allows (eligibility
+        # rule lives in ops/gather_mm.py)
+        from pemp_tpu.ops.gather_mm import gather_rows_mm_or_plain
 
-            xj_init = gather_rows_mm(node_features, j, n_img_g)
-        else:
-            xj_init = node_features[j]
+        n_img_g = mpn_cfg["NUM_JOINTS"] * npt if npt else 0
+        xj_init = gather_rows_mm_or_plain(node_features, j, n_img_g)
         pre_extra = {
             "xj_init": xj_init,
             "init_dim": node_features.shape[-1],

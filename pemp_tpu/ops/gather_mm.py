@@ -43,6 +43,33 @@ def gather_rows_mm(x, j, n_img: int):
     return x[j]
 
 
+def gather_rows_mm_or_plain(x, j, n_img: int):
+    """``x[j]``, using the matmul-transpose backward when the layout allows.
+
+    Single home of the eligibility rule (ADVICE r4): the backward assumes
+    edges are image-major blocked with equal static per-image counts and
+    within-image sources — true exactly for the target-major kNN layout that
+    sets ``_NODES_PER_TYPE`` (ops/knn.knn_edges_target_major); the GT-nodes
+    path (person-major) and non-divisible shapes fall back to a plain gather.
+
+    Peak-memory note (ADVICE r4): the backward materializes a
+    (b, e_img, n_img) one-hot in the cotangent dtype — at flagship shapes
+    (batch 8, E=435k, n_img=680, bf16) that is ~74MB per gather instance,
+    and the unrolled 10-step scan keeps several alive; measured peak-HBM
+    delta at batch 8 is well inside the v5e 16G budget, but quadrupling the
+    batch would not be. Chunk over e_img before raising batch past ~16.
+    """
+    if not n_img or x.shape[0] % n_img != 0:
+        return x[j]
+    b = x.shape[0] // n_img
+    if j.shape[0] % b != 0:
+        raise ValueError(
+            f"gather_rows_mm needs image-major blocked edges: E={j.shape[0]} "
+            f"not divisible by batch={b} (N={x.shape[0]}, n_img={n_img})"
+        )
+    return gather_rows_mm(x, j, n_img)
+
+
 def _fwd(x, j, n_img: int):
     # residuals must be jax types: carry x's row count and dtype in a
     # zero-byte (N, 0) probe

@@ -36,12 +36,18 @@ jax.tree_util.register_dataclass(
 )
 
 
-def make_train_step(model, loss_factory, tx, config):
+def make_train_step(model, loss_factory, tx, config, with_output=False):
     """Returns train_step(state, batch) -> (state, loss, logging).
 
     batch: dict with imgs (B,H,W,3), heatmaps [per-scale (B,h,w,J)],
     masks [per-scale (B,h,w)], keypoints (B,P,J,3), factors (B,P,J),
     ae_targets [per-scale (B,P,J,2)].
+
+    with_output=True appends the model's forward output dict (preds/labels/
+    masks/graph) to the return tuple, so callers that need train-time
+    metrics (the overfit harness, reference: src/test/test_train_loop.py:
+    121-216 prints metrics from the training forward) don't have to compile
+    a separate eval step.
     """
     node_threshold = config.MODEL.MPN.NODE_THRESHOLD
     include_bordering = config.MODEL.LOSS.INCLUDE_BORDERING_NODES
@@ -118,6 +124,8 @@ def make_train_step(model, loss_factory, tx, config):
         )
         logging = dict(logging)
         logging["skipped"] = 1.0 - finite.astype(jnp.float32)
+        if with_output:
+            return new_state, loss, logging, output
         return new_state, loss, logging
 
     return train_step

@@ -62,11 +62,11 @@ MODES = {
 }
 
 
-def bench_mode(name, spec, n_images, batch_size):
+def bench_mode(name, spec, n_images, batch_size, opts=()):
     import jax
     import jax.numpy as jnp  # noqa: F401
 
-    from pemp_tpu.config import get_config, update_config
+    from pemp_tpu.config import get_config, update_config, update_config_command
 
     cfg = get_config()
     cfg = update_config(cfg, spec["yaml"])
@@ -75,9 +75,13 @@ def bench_mode(name, spec, n_images, batch_size):
     cfg.TEST.FLIP_TEST = bool(spec["flip"])
     cfg.TPU.COLLECT_AUX = False
     cfg.freeze()
+    if opts:
+        # dotted-key overrides, applied last (tiny-shape CPU smoke tests
+        # shrink the model this way; same surface as tools/valid.py)
+        cfg = update_config_command(cfg, opts)
 
     rng = np.random.RandomState(0)
-    w, h = spec["img"]
+    w, h = spec.get("img", (640, 427))
     images = [(rng.rand(h, w, 3) * 255).astype(np.uint8) for _ in range(n_images)]
 
     if spec["ae"]:
@@ -138,12 +142,14 @@ def main():
     p.add_argument("--configs", nargs="*", default=list(MODES))
     p.add_argument("--images", type=int, default=32)
     p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--opts", nargs="*", default=[],
+                   help="dotted-key config overrides, e.g. DATASET.INPUT_SIZE 64")
     args = p.parse_args()
     rows = []
     for name in args.configs:
         spec = MODES[name]
         try:
-            row = bench_mode(name, spec, args.images, args.batch)
+            row = bench_mode(name, spec, args.images, args.batch, args.opts)
         except Exception as e:  # noqa: BLE001 — report per-config failures
             row = dict(mode=name, error=f"{type(e).__name__}: {e}")
         rows.append(row)

@@ -45,6 +45,14 @@ def main():
         "eval bench pipeline (VERDICT r3 #2: the training path had no "
         "perf measurement at all)",
     )
+    ap.add_argument(
+        "--no-xprof", action="store_true",
+        help="skip trace capture + per-op breakdown; just time the step "
+        "(also what the CPU smoke test runs — xprof has no device rows "
+        "on the CPU backend)",
+    )
+    ap.add_argument("--opts", nargs="*", default=[],
+                    help="dotted-key config overrides, e.g. DATASET.INPUT_SIZE 64")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +75,10 @@ def main():
         cfg.defrost()
         cfg.TPU.NODES_PER_TYPE = 40
         cfg.freeze()
+        if args.opts:
+            from pemp_tpu.config import update_config_command
+
+            cfg = update_config_command(cfg, args.opts)
         in_size = cfg.DATASET.INPUT_SIZE
         out_sizes = tuple(cfg.DATASET.OUTPUT_SIZE)
         batch = make_batch(rng, args.batch, in_size, out_sizes,
@@ -95,13 +107,25 @@ def main():
         compile_s = time.perf_counter() - t0
         state, loss, _ = step(state, batch)
         jax.block_until_ready(loss)
+        # NOTE (r5): on the remote axon platform the first ~10 post-compile
+        # steps absorb deferred executable upload — warm a full round before
+        # timing, and time OUTSIDE the profiler (tracing adds ~100x wall
+        # overhead per step over the tunnel; r4's 34.7s/step number was that
+        # artifact — untraced steady state is 282 ms/step)
+        for _ in range(10):
+            state, loss, _ = step(state, batch)
+        jax.block_until_ready(loss)
         t0 = time.perf_counter()
-        os.makedirs(args.logdir, exist_ok=True)
-        with jax.profiler.trace(args.logdir):
-            for _ in range(args.iters):
-                state, loss, _ = step(state, batch)
-            jax.block_until_ready(loss)
+        for _ in range(args.iters):
+            state, loss, _ = step(state, batch)
+        jax.block_until_ready(loss)
         dt = time.perf_counter() - t0
+        if not args.no_xprof:
+            os.makedirs(args.logdir, exist_ok=True)
+            with jax.profiler.trace(args.logdir):
+                for _ in range(args.iters):
+                    state, loss, _ = step(state, batch)
+                jax.block_until_ready(loss)
         print(
             f"train step: {dt/args.iters*1e3:.1f} ms/step, "
             f"{args.batch*args.iters/dt:.2f} img/s "
@@ -123,6 +147,8 @@ def main():
                 out = fn(data)
             jax.block_until_ready(out)
 
+    if args.no_xprof:
+        return 0
     pbs = sorted(glob.glob(f"{args.logdir}/**/*.xplane.pb", recursive=True),
                  key=os.path.getmtime)
     if not pbs:
