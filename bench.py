@@ -77,6 +77,8 @@ def build_pipeline(batch_size: int, input_size: int = 640, dtype_name: str = "bf
         cfg.TPU.NODES_PER_TYPE = int(os.environ["BENCH_K"])
     if os.environ.get("BENCH_MSG_PASS"):
         cfg.TPU.MSG_PASS = os.environ["BENCH_MSG_PASS"]
+    if os.environ.get("BENCH_COMPILE_BUDGET"):
+        cfg.TPU.COMPILE_BUDGET = os.environ["BENCH_COMPILE_BUDGET"]
     cfg.freeze()
 
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32

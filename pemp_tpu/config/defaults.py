@@ -272,6 +272,12 @@ _C.TPU.MSG_PASS = "auto"
 # MPN scan unroll: -1 = full unroll on TPU / rolled on other backends;
 # 1 = rolled; N = unroll factor
 _C.TPU.SCAN_UNROLL = -1
+# cold-compile budget: "full" compiles the fastest steady-state program
+# (full scan unroll — minutes of XLA/Mosaic compile for the flagship
+# pipeline on a slow host); "low" keeps the MPN scan rolled unless
+# SCAN_UNROLL explicitly overrides, trading a few % throughput for a much
+# smaller program (measured numbers: IMPLEMENTATION_NOTES "Compile cost")
+_C.TPU.COMPILE_BUDGET = "full"
 _C.TPU.COMPUTE_DTYPE = "bfloat16"
 # eval-only space-to-depth HRNet deconv branch (exact; 2x2 convs at half
 # resolution / 4x channels map ~31% faster onto the MXU than the 3x3

@@ -255,12 +255,19 @@ def build_pose_model(config, dtype=jnp.float32) -> PoseEstimationBaseline:
             # + attention aggregation in one Pallas call per step)
             mpn_cfg["_FUSED_STEP"] = True
         unroll_cfg = config.TPU.SCAN_UNROLL if "SCAN_UNROLL" in config.TPU else -1
+        budget = (
+            config.TPU.COMPILE_BUDGET if "COMPILE_BUDGET" in config.TPU else "full"
+        )
         if unroll_cfg < 0:
             # full unroll on TPU (XLA hoists the loop-invariant edge-MLP
             # halves: +3.7 img/s); rolled elsewhere to keep CPU test compiles
-            # fast
+            # fast. TPU.COMPILE_BUDGET=low keeps the scan rolled on TPU too —
+            # the unrolled 10-step flagship program is the dominant cold
+            # XLA-compile cliff (IMPLEMENTATION_NOTES "Compile cost")
             mpn_cfg["_SCAN_UNROLL"] = (
-                config.MODEL.MPN.STEPS if _jax.default_backend() == "tpu" else 1
+                config.MODEL.MPN.STEPS
+                if _jax.default_backend() == "tpu" and budget != "low"
+                else 1
             )
         elif unroll_cfg > 1:
             mpn_cfg["_SCAN_UNROLL"] = unroll_cfg

@@ -125,40 +125,47 @@ def auction_assignment(
         prices = jnp.where(col_has_bid, best_bid, prices)
         return it + 1, phase_eps, prices, row_of_col
 
-    # geometric eps schedule ending exactly at the target eps; phases whose
-    # eps has already decayed to the target exit after one cond evaluation
+    # Geometric eps schedule ending exactly at the target eps; phases whose
+    # eps has already decayed to the target exit after one cond evaluation.
+    # The phase loop is a lax.fori_loop (NOT an unrolled python loop): one
+    # while-body in the compiled program instead of scaling_phases copies —
+    # the unrolled form multiplied the flagship train-step XLA compile by
+    # >5x (vmapped over images inside the label constructor).
     eps0 = jnp.maximum(jnp.max(s.max(initial=0.0), initial=0.0), 0.0)
+    n_eff = min(r, c)
+
+    def phase(k, carry):
+        prices, _ = carry
+        is_final = k == scaling_phases - 1
+        phase_eps = jnp.where(
+            is_final,
+            jnp.float32(eps),  # final phase: the unscaled target
+            jnp.maximum(
+                eps0 / (scaling_factor ** (k + 1.0)), eps
+            ).astype(jnp.float32),
+        )
+        # new phase: keep learned prices, restart the assignment
+        state = (jnp.int32(0), phase_eps, prices, jnp.full((c,), -1, jnp.int32))
+        _, _, prices, row_of_col = lax.while_loop(cond, body, state)
+        # Between phases, deflate: auction prices can overshoot the
+        # equilibrium duals by up to ~n*eps during a phase, and with the
+        # profit>0 outside option an above-equilibrium price permanently
+        # locks matchable rows out of later (finer-eps) phases (prices never
+        # fall in a forward auction). Prices AT OR BELOW equilibrium are
+        # always safe: the next phase just bids them back up. Deflating by
+        # the overshoot bound keeps most of the learned price level, so the
+        # residual climb per bid war is ~n*eps_prev instead of the full
+        # valuation.
+        prices = jnp.where(
+            is_final, prices, jnp.maximum(prices - n_eff * phase_eps - eps, 0.0)
+        )
+        return prices, row_of_col
+
     prices = jnp.zeros((c,), jnp.float32)
     row_of_col = jnp.full((c,), -1, jnp.int32)
-    for k in range(scaling_phases):
-        if k == scaling_phases - 1:
-            phase_eps = jnp.float32(eps)  # final phase: the unscaled target
-        else:
-            phase_eps = jnp.maximum(
-                eps0 / (scaling_factor ** (k + 1)), eps
-            ).astype(jnp.float32)
-        if k > 0:
-            # new phase: keep learned prices, restart the assignment
-            row_of_col = jnp.full((c,), -1, jnp.int32)
-        state = (jnp.int32(0), phase_eps, prices, row_of_col)
-        _, _, prices, row_of_col = lax.while_loop(cond, body, state)
-        if k < scaling_phases - 1:
-            # deflate by this phase's eps: a phase's bid increments can leave
-            # prices up to ~eps above the market-clearing level, and with the
-            # profit>0 outside option an inflated price permanently locks
-            # matchable rows out of later (finer-eps) phases. Slightly-low
-            # prices only cost a few extra bids.
-            # Auction prices can overshoot the equilibrium duals by up to
-            # ~n*eps during a phase, and with the profit>0 outside option an
-            # above-equilibrium price permanently locks matchable rows out of
-            # later (finer-eps) phases (prices never fall in a forward
-            # auction). Prices AT OR BELOW equilibrium are always safe: the
-            # next phase just bids them back up. So deflate by the overshoot
-            # bound; later phases retain most of the learned price level and
-            # the residual climb per bid war is ~n*eps_prev instead of the
-            # full valuation.
-            n_eff = min(r, c)
-            prices = jnp.maximum(prices - n_eff * phase_eps - eps, 0.0)
+    prices, row_of_col = lax.fori_loop(
+        0, scaling_phases, phase, (prices, row_of_col)
+    )
 
     col_of_row = _col_of_row_from(row_of_col, r)
     got = col_of_row >= 0
