@@ -75,16 +75,24 @@ def auction_assignment(
     the thresholded OKS similarity matrices this is used for (large gaps,
     sparse conflicts — reference: ConstructGraph.py:781-827).
 
-    Runs with **epsilon scaling** (Bertsekas): ``scaling_phases`` auction
-    phases with eps decreasing geometrically from ~max(sim)/scaling_factor
-    down to ``eps``; each phase restarts the assignment but keeps the prices.
-    Without it, contended near-tied instances (many GT rows bidding on few
-    detections, OKS sims within 1e-3 of each other — exactly what large-person
-    crops produce) need ~max(sim)/eps ≈ 10^4 serial rounds, which dominates
-    the train step on CPU and costs ~25ms/step on TPU; with it the same
-    instances converge in tens of rounds. The final phase runs at ``eps`` to
-    the same fixed point condition as the unscaled auction, so the optimality
-    guarantee is unchanged.
+    Runs with **adaptive epsilon scaling** (Bertsekas): phase 0 is the plain
+    auction at the target ``eps`` with a small iteration budget — typical OKS
+    instances (sharp peaks, sparse conflicts) converge there in a handful of
+    rounds at zero extra cost and with the identical result to the unscaled
+    auction. Instances that blow the budget (contended near-ties: many GT
+    rows bidding on few detections with sims within 1e-3 — exactly what
+    large-person crops produce, needing ~max(sim)/eps ≈ 10^5 serial rounds
+    unscaled) escalate into ``scaling_phases`` phases with eps decreasing
+    geometrically from ~max(sim)/scaling_factor back down to ``eps``; each
+    phase restarts the assignment but keeps the (deflated) prices. The last
+    phase runs at ``eps`` to the same fixed-point condition as the unscaled
+    auction, so the optimality guarantee is unchanged.
+
+    The whole schedule lives in ONE ``lax.while_loop`` whose state carries
+    the phase index: a single loop body in the compiled program (an unrolled
+    python phase loop multiplied the flagship train-step compile >5x), and
+    under ``vmap`` easy lanes simply stop contributing instead of paying a
+    both-branches ``lax.cond`` select.
 
     State is the column-ownership vector; eviction on outbidding is implicit.
     """
@@ -98,74 +106,98 @@ def auction_assignment(
         best_profit = jnp.max(s - prices[None, :], axis=1)
         return (col_of_row < 0) & feasible_row & (best_profit > 0)
 
-    def cond(state):
-        it, _eps, prices, row_of_col = state
-        return (it < max_iters) & jnp.any(active_rows(prices, row_of_col))
-
-    def body(state):
-        it, phase_eps, prices, row_of_col = state
-        values = s - prices[None, :]
-        top2, top2_idx = lax.top_k(values, min(2, c))
-        best_j = top2_idx[:, 0].astype(jnp.int32)
-        second = top2[:, 1] if c > 1 else jnp.full((r,), NEG, jnp.float32)
-        # the outside option (profit 0) caps how far a row will bid
-        second = jnp.maximum(second, 0.0)
-        bid = prices[best_j] + (top2[:, 0] - second) + phase_eps
-
-        active = active_rows(prices, row_of_col)
-        bid = jnp.where(active, bid, NEG)
-
-        best_bid = jax.ops.segment_max(bid, best_j, num_segments=c)
-        is_winner = active & (bid >= best_bid[best_j] - 1e-12)
-        winner_rank = jnp.where(is_winner, row_ids, r + 1)
-        win_row = jax.ops.segment_min(winner_rank, best_j, num_segments=c)
-        col_has_bid = (best_bid > NEG / 2) & (win_row <= r)
-
-        row_of_col = jnp.where(col_has_bid, win_row.astype(jnp.int32), row_of_col)
-        prices = jnp.where(col_has_bid, best_bid, prices)
-        return it + 1, phase_eps, prices, row_of_col
-
-    # Geometric eps schedule ending exactly at the target eps; phases whose
-    # eps has already decayed to the target exit after one cond evaluation.
-    # The phase loop is a lax.fori_loop (NOT an unrolled python loop): one
-    # while-body in the compiled program instead of scaling_phases copies —
-    # the unrolled form multiplied the flagship train-step XLA compile by
-    # >5x (vmapped over images inside the label constructor).
     eps0 = jnp.maximum(jnp.max(s.max(initial=0.0), initial=0.0), 0.0)
     n_eff = min(r, c)
+    quick_budget = min(max_iters, 200)
+    last_phase = scaling_phases  # phase index layout: 0 = quick, 1..P = scaled
 
-    def phase(k, carry):
-        prices, _ = carry
-        is_final = k == scaling_phases - 1
-        phase_eps = jnp.where(
-            is_final,
-            jnp.float32(eps),  # final phase: the unscaled target
-            jnp.maximum(
-                eps0 / (scaling_factor ** (k + 1.0)), eps
-            ).astype(jnp.float32),
+    def eps_of(phase):
+        # phase 0 (quick) and the last scheduled phase run at the target eps;
+        # phases 1..P-1 decay geometrically from ~max(sim)/factor
+        scaled_eps = jnp.maximum(
+            eps0 / (scaling_factor ** phase.astype(jnp.float32)), eps
         )
-        # new phase: keep learned prices, restart the assignment
-        state = (jnp.int32(0), phase_eps, prices, jnp.full((c,), -1, jnp.int32))
-        _, _, prices, row_of_col = lax.while_loop(cond, body, state)
-        # Between phases, deflate: auction prices can overshoot the
-        # equilibrium duals by up to ~n*eps during a phase, and with the
-        # profit>0 outside option an above-equilibrium price permanently
-        # locks matchable rows out of later (finer-eps) phases (prices never
-        # fall in a forward auction). Prices AT OR BELOW equilibrium are
-        # always safe: the next phase just bids them back up. Deflating by
-        # the overshoot bound keeps most of the learned price level, so the
-        # residual climb per bid war is ~n*eps_prev instead of the full
-        # valuation.
-        prices = jnp.where(
-            is_final, prices, jnp.maximum(prices - n_eff * phase_eps - eps, 0.0)
-        )
-        return prices, row_of_col
+        terminal = (phase == 0) | (phase >= last_phase)
+        return jnp.where(terminal, jnp.float32(eps), scaled_eps)
 
-    prices = jnp.zeros((c,), jnp.float32)
-    row_of_col = jnp.full((c,), -1, jnp.int32)
-    prices, row_of_col = lax.fori_loop(
-        0, scaling_phases, phase, (prices, row_of_col)
+    # State: (total_it, it_in_phase, phase, prices, row_of_col).
+    # Terminal phases (quick, last scheduled) end the loop when no row is
+    # active; intermediate completions and a blown quick budget transition
+    # to the next phase inside the body.
+    def cond(state):
+        total_it, _itp, phase, prices, row_of_col = state
+        active = jnp.any(active_rows(prices, row_of_col))
+        terminal = (phase == 0) | (phase >= last_phase)
+        return (total_it < max_iters) & (active | ~terminal)
+
+    def body(state):
+        total_it, itp, phase, prices, row_of_col = state
+        active = jnp.any(active_rows(prices, row_of_col))
+        # quick phase exhausted, or an intermediate phase converged ->
+        # transition to the next phase: restart the assignment, keep the
+        # prices DEFLATED by the phase's overshoot bound. (Auction prices can
+        # end up to ~n*eps above the equilibrium duals, and with the profit>0
+        # outside option an above-equilibrium price permanently locks
+        # matchable rows out of finer-eps phases — prices never fall in a
+        # forward auction. At-or-below-equilibrium prices are always safe:
+        # the next phase just bids them back up, and the residual climb per
+        # bid war is ~n*eps_prev instead of the full valuation.)
+        # Terminal phases (quick, last) never transition: a converged lane
+        # inside a vmap batch must idle as a no-op (all bids masked) while
+        # other lanes finish, not ratchet through the schedule.
+        transition = ((phase == 0) & (itp >= quick_budget) & active) | (
+            (~active) & (phase >= 1) & (phase < last_phase)
+        )
+
+        def do_transition(args):
+            total_it, _itp, phase, prices, row_of_col = args
+            prices = jnp.maximum(prices - n_eff * eps_of(phase) - eps, 0.0)
+            return (
+                total_it + 1,
+                jnp.int32(0),
+                phase + 1,
+                prices,
+                jnp.full((c,), -1, jnp.int32),
+            )
+
+        def do_bid(args):
+            total_it, itp, phase, prices, row_of_col = args
+            phase_eps = eps_of(phase)
+            values = s - prices[None, :]
+            top2, top2_idx = lax.top_k(values, min(2, c))
+            best_j = top2_idx[:, 0].astype(jnp.int32)
+            second = (
+                top2[:, 1] if c > 1 else jnp.full((r,), NEG, jnp.float32)
+            )
+            # the outside option (profit 0) caps how far a row will bid
+            second = jnp.maximum(second, 0.0)
+            bid = prices[best_j] + (top2[:, 0] - second) + phase_eps
+
+            active = active_rows(prices, row_of_col)
+            bid = jnp.where(active, bid, NEG)
+
+            best_bid = jax.ops.segment_max(bid, best_j, num_segments=c)
+            is_winner = active & (bid >= best_bid[best_j] - 1e-12)
+            winner_rank = jnp.where(is_winner, row_ids, r + 1)
+            win_row = jax.ops.segment_min(winner_rank, best_j, num_segments=c)
+            col_has_bid = (best_bid > NEG / 2) & (win_row <= r)
+
+            row_of_col = jnp.where(
+                col_has_bid, win_row.astype(jnp.int32), row_of_col
+            )
+            prices = jnp.where(col_has_bid, best_bid, prices)
+            return total_it + 1, itp + 1, phase, prices, row_of_col
+
+        return lax.cond(transition, do_transition, do_bid, state)
+
+    state = (
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.zeros((c,), jnp.float32),
+        jnp.full((c,), -1, jnp.int32),
     )
+    _, _, _, _, row_of_col = lax.while_loop(cond, body, state)
 
     col_of_row = _col_of_row_from(row_of_col, r)
     got = col_of_row >= 0

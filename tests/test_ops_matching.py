@@ -112,3 +112,32 @@ def test_empty_rows_unmatched():
     sol_g = np.asarray(greedy_assignment(jnp.asarray(sim)))
     assert (sol_g == -1).all()
     assert (hungarian_numpy(sim) == -1).all()
+
+
+def test_auction_vmap_mixed_difficulty():
+    """Batched lanes of very different difficulty must each stay exact.
+
+    The adaptive eps-scaled auction runs its whole schedule in one
+    while_loop whose state carries the phase index; under vmap a converged
+    lane idles as a no-op while a contended lane escalates through the eps
+    schedule. An easy + pathological pair exercises exactly that
+    interaction (a lane ratcheting phases after convergence would reset
+    its assignment and return garbage).
+    """
+    rng = np.random.RandomState(3)
+    easy = np.zeros((R, C), np.float32)
+    for i in range(R):
+        easy[i, rng.randint(C)] = 0.5 + 0.5 * rng.rand()
+    hard = np.zeros((R, C), np.float32)  # all rows fight over 3 columns
+    cols = [2, 7, 13]
+    for i in range(R):
+        hard[i, cols] = np.clip(1.0 - rng.rand(3) * 1e-3, 1e-3, 1.0)
+    batch = jnp.asarray(np.stack([easy, hard]))
+    sols = np.asarray(jax.jit(jax.vmap(auction_assignment))(batch))
+    for sim, sol in zip([easy, hard], sols):
+        sol_h = hungarian_numpy(sim)
+        assert total(sim, sol) == pytest.approx(
+            total(sim, sol_h), abs=R * 1e-4 + 1e-6
+        )
+        used = [j for j in sol if j >= 0]
+        assert len(used) == len(set(used))
